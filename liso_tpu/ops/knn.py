@@ -1,0 +1,66 @@
+"""On-device nearest-neighbour search.
+
+Reference: liso/slim/slim_loss/knn_graph.py:57-80 wraps pynanoflann (C++
+KD-tree) with a GPU->CPU->GPU round-trip inside every SLIM loss step — the
+reference's single biggest host ping-pong. On TPU we use a tiled brute-force
+formulation instead: ||q - r||^2 = |q|^2 + |r|^2 - 2 q.r^T, whose dominant
+cost is one [Nq, 3] x [3, Nr] matmul per tile — MXU work, not a tree. Padded
+points carry +inf distance via the validity masks so argmin never selects
+them.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e9
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def nn_1(
+    queries: jnp.ndarray,
+    refs: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    r_valid: jnp.ndarray,
+    chunk: int = 2048,
+):
+    """1-NN of each query in refs.
+
+    queries [Nq, D], refs [Nr, D] (D = 2 or 3), with bool validity masks.
+    Returns (sq_dist [Nq], idx [Nq] int32). Invalid queries get sq_dist BIG
+    and idx 0; invalid refs are never selected (if no valid ref exists the
+    distance is ~BIG).
+
+    Scans over query chunks so peak memory is [chunk, Nr] regardless of Nq.
+    """
+    nq, d = queries.shape
+    nr = refs.shape[0]
+    pad = (-nq) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    qv = jnp.pad(q_valid, (0, pad))
+    r2 = (refs * refs).sum(-1)  # [Nr]
+    r_pen = jnp.where(r_valid, 0.0, BIG)
+
+    def step(_, q_and_v):
+        q, v = q_and_v  # [chunk, D], [chunk]
+        q2 = (q * q).sum(-1)  # [chunk]
+        # MXU: [chunk, D] @ [D, Nr]
+        dots = jnp.dot(q, refs.T, preferred_element_type=jnp.float32)
+        sq = q2[:, None] + r2[None, :] - 2.0 * dots + r_pen[None, :]
+        idx = jnp.argmin(sq, axis=-1)
+        best = jnp.take_along_axis(sq, idx[:, None], axis=-1)[:, 0]
+        best = jnp.where(v, jnp.maximum(best, 0.0), BIG)
+        idx = jnp.where(v, idx, 0)
+        return None, (best, idx)
+
+    qc = qp.reshape(-1, chunk, d)
+    vc = qv.reshape(-1, chunk)
+    _, (dists, idxs) = jax.lax.scan(step, None, (qc, vc))
+    return dists.reshape(-1)[:nq], idxs.reshape(-1)[:nq].astype(jnp.int32)
+
+
+def knn_gather(refs: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather ref points by NN index."""
+    return refs[idx]

@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liso_tpu.ops import pillars, scatter
+from liso_tpu.ops.bev import BevSetup, bilinear_sample_2d, point_cell_ids, voxel_center_coords
+from liso_tpu.ops.knn import nn_1
+
+SETUP = BevSetup(bev_range_m=(8.0, 8.0), grid_size=(4, 4))
+
+
+class TestBev:
+    def test_cell_ids(self):
+        pts = jnp.array(
+            [
+                [-3.9, -3.9],  # cell (0, 0)
+                [3.9, 3.9],  # cell (3, 3)
+                [0.1, -0.1],  # cell (2, 1)
+                [5.0, 0.0],  # out of range
+            ]
+        )
+        cid, ok, rc = point_cell_ids(pts, SETUP)
+        assert np.asarray(cid).tolist() == [0, 15, 9, 16]
+        assert np.asarray(ok).tolist() == [True, True, True, False]
+
+    def test_voxel_centers(self):
+        vc = voxel_center_coords(SETUP)
+        assert vc.shape == (4, 4, 2)
+        np.testing.assert_allclose(vc[0, 0], [-3.0, -3.0])
+        np.testing.assert_allclose(vc[3, 3], [3.0, 3.0])
+
+    def test_bilinear_sample(self):
+        img = jnp.arange(16.0).reshape(4, 4, 1)
+        v = bilinear_sample_2d(img, jnp.array([1.5, 1.5]))
+        # mean of cells (1,1),(1,2),(2,1),(2,2) = mean(5,6,9,10) = 7.5
+        np.testing.assert_allclose(v, [7.5])
+
+
+class TestScatter:
+    def test_mean_and_max(self):
+        vals = jnp.array([[1.0], [3.0], [10.0], [99.0]])
+        cid = jnp.array([0, 0, 2, 16])  # 16 = drop bucket
+        mean, cnt = scatter.scatter_mean_grid(vals, cid, 16)
+        assert mean[0, 0] == 2.0 and mean[2, 0] == 10.0
+        mx = scatter.scatter_max_grid(vals, cid, 16, fill=-1.0)
+        assert mx[0, 0] == 3.0 and mx[1, 0] == -1.0
+
+
+class TestPillars:
+    def test_pillarize_and_scatter(self):
+        pts = jnp.array(
+            [
+                [-3.0, -3.0, 0.0, 0.5],
+                [-2.9, -3.1, 0.2, 0.1],
+                [3.0, 3.0, 9.0, 0.0],  # z beyond cutoff
+                [0.0, 0.0, 0.0, 0.0],  # padded-out
+            ]
+        )
+        valid = jnp.array([True, True, True, False])
+        cid, inp = pillars.pillarize(pts, valid, SETUP, z_cutoff=5.0)
+        assert np.asarray(inp).tolist() == [True, True, False, False]
+        feats = pillars.pillar_point_features(pts, cid, inp, SETUP)
+        assert feats.shape == (4, 4 + 5)
+        # cluster offset of first two points: mean z = 0.1
+        np.testing.assert_allclose(feats[0, 6], -0.1, atol=1e-6)
+        grid = pillars.scatter_pillars_to_bev(
+            jnp.where(inp[:, None], feats, 0.0), cid, SETUP
+        )
+        assert grid.shape == (4, 4, 9)
+        occ = pillars.occupancy_map(cid, inp, SETUP)
+        assert float(occ.sum()) == 1.0  # both valid points share cell (0,0)
+        assert occ[0, 0, 0] == 1.0
+
+
+class TestKnn:
+    def test_vs_scipy(self):
+        from scipy.spatial import cKDTree
+
+        rng = np.random.RandomState(0)
+        refs = rng.randn(500, 3).astype(np.float32)
+        qs = rng.randn(300, 3).astype(np.float32)
+        d, i = nn_1(
+            jnp.asarray(qs), jnp.asarray(refs),
+            jnp.ones(300, bool), jnp.ones(500, bool), chunk=128,
+        )
+        tree = cKDTree(refs)
+        d_ref, i_ref = tree.query(qs, k=1)
+        np.testing.assert_array_equal(np.asarray(i), i_ref)
+        np.testing.assert_allclose(np.sqrt(np.asarray(d)), d_ref, atol=1e-3)
+
+    def test_masks(self):
+        refs = jnp.array([[0.0, 0, 0], [100.0, 0, 0]])
+        qs = jnp.array([[99.0, 0, 0], [1.0, 0, 0]])
+        d, i = nn_1(qs, refs, jnp.array([True, False]),
+                    jnp.array([True, False]), chunk=2)
+        assert int(i[0]) == 0  # ref 1 invalid -> picks ref 0
+        assert d[1] >= 1e8  # invalid query

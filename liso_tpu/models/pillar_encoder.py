@@ -1,0 +1,130 @@
+"""PointPillars feature encoder, TPU-native.
+
+Replaces the reference's mmcv CUDA `Voxelization` + mmdet3d `PillarFeatureNet`
++ `PointPillarsScatter` stack (used via
+liso/networks/pcl_to_feature_grid/pcl_to_feature_grid.py:10-107). The CUDA
+path builds a sparse [num_pillars, 20, C] tensor with dynamic pillar counts;
+here every padded point is encoded in place ([B, N, 9] -> [B, N, C]) and
+reduced straight into the dense BEV image with a segment-max — one fused XLA
+program, static shapes, no voxel list.
+
+Feature layout matches mmdet3d PillarFeatureNet (with_distance=False):
+  [x, y, z, intensity..., x-xm, y-ym, z-zm, x-xc, y-yc]
+where (xm, ym, zm) is the pillar mean and (xc, yc) the pillar center.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from liso_tpu.ops import scatter
+from liso_tpu.ops.bev import BevSetup
+from liso_tpu.ops.pillars import pillar_point_features, pillarize
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (batch, points) that ignores padded points.
+
+    The reference PFN uses BatchNorm1d(eps=1e-3, momentum=0.01) over the
+    packed point list; our point axis is padded so statistics are computed
+    over valid points only (the CUDA voxelizer's zero-padded in-pillar points
+    polluted stats slightly; masking is the cleaner equivalent).
+    """
+
+    momentum: float = 0.99
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            m = mask[..., None].astype(x.dtype)
+            cnt = jnp.maximum(m.sum(), 1.0)
+            mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            var = ((x - mean) ** 2 * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class PillarEncoder(nn.Module):
+    """points [B, N, F] + valid [B, N] -> (bev image [B, H, W, C],
+    occupancy [B, H, W, 1]).
+
+    One PFN layer (linear -> masked BN -> ReLU -> per-pillar max) like the
+    reference's 64-channel config (pcl_to_feature_grid.py:40-47).
+    """
+
+    setup_bev: BevSetup
+    num_channels: int = 64
+    z_cutoff: float = 5.0
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, valid: jnp.ndarray, train: bool = False):
+        bev = self.setup_bev
+
+        def per_sample_ids(pts, msk):
+            return pillarize(pts, msk, bev, z_cutoff=self.z_cutoff)
+
+        cell_id, in_pillar = jax.vmap(per_sample_ids)(points, valid)
+
+        feats = jax.vmap(lambda p, c, m: pillar_point_features(p, c, m, bev))(
+            points, cell_id, in_pillar
+        )
+        x = nn.Dense(self.num_channels, use_bias=False, name="pfn_linear")(feats)
+        x = MaskedBatchNorm(name="pfn_bn")(x, in_pillar, train)
+        x = nn.relu(x)
+        # padded / out-of-range points must not win the pillar max
+        x = jnp.where(in_pillar[..., None], x, -jnp.inf)
+
+        h, w = bev.grid_size
+
+        def per_sample_scatter(xi, ci):
+            g = scatter.scatter_max_grid(xi, ci, bev.num_cells, fill=0.0)
+            return g.reshape(h, w, self.num_channels)
+
+        img = jax.vmap(per_sample_scatter)(x, cell_id)
+
+        def per_sample_occ(ci, mi):
+            occ = scatter.scatter_add_grid(mi.astype(jnp.float32), ci, bev.num_cells)
+            return (occ > 0).astype(jnp.float32).reshape(h, w, 1)
+
+        occ = jax.vmap(per_sample_occ)(cell_id, in_pillar)
+        return img, occ
+
+
+def pillar_coords(points: jnp.ndarray, valid: jnp.ndarray, bev: BevSetup):
+    """[B, N, >=2] -> int32 (row, col) per point, clamped in-range, plus
+    in-range mask (reference `pillar_coors`, torch_dataset_commons.py:1147)."""
+    from liso_tpu.ops.bev import point_cell_ids
+
+    def per_sample(pts, msk):
+        _, in_range, rc = point_cell_ids(pts[..., :2], bev, msk)
+        return rc, in_range
+
+    return jax.vmap(per_sample)(points, valid)
+
+
+def point_feature_mask(points: jnp.ndarray, mask: Sequence[bool]) -> jnp.ndarray:
+    """Apply the reference's `point_feat_mask` channel selection
+    (liso_config.yml:322-334) to the augmented features."""
+    idx = [i for i, m in enumerate(mask) if m]
+    return points[..., jnp.asarray(idx)]

@@ -1,0 +1,144 @@
+"""SLIM scene-flow model: pillar encoder + bidirectional RAFT + decoder.
+
+Behavioral reference: liso/slim/model/slim.py:10-156 and
+liso/slim/slim_loss/movavg_cls_threshold.py:9-157. The reference's
+`MovingAverageThreshold` lives in registered torch buffers mutated in-place
+during the loss; here it is an explicit functional state pytree carried in
+the train state (updated with jnp ops, checkpointed with everything else).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from liso_tpu.models.pillar_encoder import PillarEncoder
+from liso_tpu.models.raft import RAFT
+from liso_tpu.ops.bev import BevSetup
+
+
+# ---------------------------------------------------------------------------
+# Moving-average dynamicness threshold (functional)
+# ---------------------------------------------------------------------------
+class MovAvgState(NamedTuple):
+    importance: jnp.ndarray  # [resolution] float32 EMA of improvement hist
+    bias_counter: jnp.ndarray  # scalar float64-ish (float32 ok)
+    update_weight: jnp.ndarray  # scalar constant
+    start_value: jnp.ndarray  # scalar
+
+
+def movavg_init(
+    num_train_samples: int,
+    num_moving: int = 621_013_971,
+    num_still: Optional[int] = None,
+    resolution: int = 100_000,
+    start_value: float = 0.5,
+) -> MovAvgState:
+    """movavg_cls_threshold.py:__init__ — update weight such that the buffer
+    turns over roughly every 5k iterations."""
+    total = num_moving + (num_still or 0)
+    avg_points_per_sample = total / max(num_train_samples, 1)
+    update_weight = 1.0 / min(2.0 * total, 5_000.0 * avg_points_per_sample)
+    return MovAvgState(
+        importance=jnp.zeros((resolution,), jnp.float32),
+        bias_counter=jnp.zeros((), jnp.float32),
+        update_weight=jnp.asarray(update_weight, jnp.float32),
+        start_value=jnp.asarray(start_value, jnp.float32),
+    )
+
+
+def movavg_value(state: MovAvgState) -> jnp.ndarray:
+    """Optimal threshold = bin minimising cumulative improvement
+    (movavg_cls_threshold.py:92-111); start value until first update."""
+    res = state.importance.shape[0]
+    improv = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(state.importance)]
+    )
+    best = jnp.min(improv)
+    is_best = improv == best
+    idxs = jnp.arange(res + 1, dtype=jnp.float32)
+    avg_idx = (idxs * is_best).sum() / jnp.maximum(is_best.sum(), 1)
+    optimal = avg_idx / res
+    return jnp.where(state.bias_counter > 0.0, optimal, state.start_value)
+
+
+def movavg_update(
+    state: MovAvgState,
+    epes_stat: jnp.ndarray,  # [M] flattened
+    epes_dyn: jnp.ndarray,  # [M]
+    dynamicness: jnp.ndarray,  # [M]
+    valid: jnp.ndarray,  # [M] bool
+) -> MovAvgState:
+    """movavg_cls_threshold.py:113-157 (unsupervised path: improvements =
+    epe_static - epe_dynamic, scattered into dynamicness bins, EMA'd).
+    Invalid entries contribute zero and don't count toward the bias update."""
+    res = state.importance.shape[0]
+    improvements = jnp.where(valid, epes_stat - epes_dyn, 0.0)
+    bins = jnp.clip((dynamicness * res).astype(jnp.int32), 0, res - 1)
+    bins = jnp.where(valid, bins, res)  # drop bucket
+    hist = jax.ops.segment_sum(improvements, bins, num_segments=res + 1)[:res]
+    count = valid.sum().astype(jnp.float32)
+    # (1 - uw)^count via expm1/log1p: the reference keeps these buffers in
+    # float64 because uw ~ 1e-9 vanishes in fp32; this form is fp32-exact
+    one_minus_cur_w = -jnp.expm1(count * jnp.log1p(-state.update_weight))
+    cur_w = 1.0 - one_minus_cur_w
+    importance = state.importance * cur_w + one_minus_cur_w * hist
+    bias = state.bias_counter * cur_w + one_minus_cur_w
+    return state._replace(importance=importance, bias_counter=bias)
+
+
+# ---------------------------------------------------------------------------
+class SlimModel(nn.Module):
+    """Forward+backward RAFT over a BEV pillar encoding.
+
+    __call__(pcl_t0, valid_t0, pcl_t1, valid_t1) returns
+    (outputs_fw, outputs_bw, occ_t0, occ_t1) where outputs_* are
+    [iters, B, H, W, 8(+1)] stacked per-iteration network outputs (decoding
+    happens outside, per iteration, as in slim.py:76-142).
+    The forward and backward directions share one RAFT (fnet/cnet/update
+    weights) exactly like the reference, which calls the same
+    `predict_single_flow_map_and_classes` with swapped feature maps
+    (raft_mod.py:113-124); only the head decoders differ, and those are
+    parameter-free here.
+    """
+
+    bev: BevSetup
+    num_iters: int = 6
+    corr_levels: int = 4
+    corr_radius: int = 3
+    pillar_channels: int = 64
+    fnet_norm: str = "instance_affine"
+    predict_weight_for_static_aggregation: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        pcl_t0: jnp.ndarray,
+        valid_t0: jnp.ndarray,
+        pcl_t1: jnp.ndarray,
+        valid_t1: jnp.ndarray,
+        train: bool = False,
+    ):
+        enc = PillarEncoder(
+            self.bev, num_channels=self.pillar_channels, name="pillar_encoder"
+        )
+        img0, occ0 = enc(pcl_t0, valid_t0, train=train)
+        img1, occ1 = enc(pcl_t1, valid_t1, train=train)
+
+        res_x = self.bev.res_m[0]
+        raft = RAFT(
+            num_iters=self.num_iters,
+            corr_levels=self.corr_levels,
+            corr_radius=self.corr_radius,
+            resolution_m=res_x,
+            fnet_norm=self.fnet_norm,
+            predict_weight_for_static_aggregation=(
+                self.predict_weight_for_static_aggregation is not False
+            ),
+            name="raft",
+        )
+        outputs_fw = raft(img0, img1)
+        outputs_bw = raft(img1, img0)
+        return outputs_fw, outputs_bw, occ0[..., 0], occ1[..., 0]

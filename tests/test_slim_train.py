@@ -1,0 +1,111 @@
+"""End-to-end SLIM training smoke tests on tiny shapes (CPU, 8 virtual
+devices via conftest)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liso_tpu.data.sample import FlowSample, PointCloud
+from liso_tpu.losses.slim_loss import SlimLossCfg
+from liso_tpu.models.slim import movavg_init, movavg_update, movavg_value
+from liso_tpu.ops.bev import BevSetup
+from liso_tpu.parallel.mesh import make_mesh, shard_batch
+from liso_tpu.train.slim_train import SlimTrainer
+
+
+def tiny_batch(b=2, n=256, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda: PointCloud(
+        pcl=jnp.asarray(rng.uniform(-14, 14, (b, n, 4)).astype(np.float32)),
+        valid=jnp.asarray(rng.rand(b, n) > 0.1),
+    )
+    eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+    return FlowSample(pcl_t0=mk(), pcl_t1=mk(), odom_t0_t1=eye, odom_t1_t0=eye)
+
+
+def make_trainer(**kw):
+    bev = BevSetup(bev_range_m=(32.0, 32.0), grid_size=(32, 32))
+    defaults = dict(
+        num_iters=2,
+        predict_weight_for_static_aggregation="sigmoid",
+        use_static_aggr_flow_for_aggr_flow=True,
+        loss_cfg=SlimLossCfg(
+            knn_on_dynamic_penalty=1.0,
+            knn_on_static_penalty=1.0,
+            knn_chunk=256,
+        ),
+        num_train_samples=10,
+        warmup_steps=2,
+        train_steps=10,
+    )
+    defaults.update(kw)
+    return SlimTrainer(bev, **defaults)
+
+
+def test_train_step_runs_and_updates():
+    trainer = make_trainer()
+    batch = tiny_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.tree.map(lambda x: x.copy(), state.params)
+    # warmup LR is 0 at step 0 (reference polynomial-warmup semantics), so
+    # step twice to see a param update
+    state, _ = trainer.train_step(state, batch)
+    state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(state.step) == 2
+    # params changed somewhere
+    diff = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params))
+    )
+    assert diff > 0
+    # threshold histogram got an update
+    assert float(state.movavg.bias_counter) > 0
+
+
+def test_loss_decreases_over_steps():
+    trainer = make_trainer()
+    batch = tiny_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0] * 1.5  # no blow-up
+
+
+def test_data_parallel_sharded_step():
+    mesh = make_mesh()
+    ndev = len(mesh.devices)
+    trainer = make_trainer()
+    batch = tiny_batch(b=ndev)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    sharded = shard_batch(mesh, batch)
+    state, metrics = trainer.train_step(state, sharded)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_movavg_threshold_converges():
+    mov = movavg_init(num_train_samples=10)
+    assert float(movavg_value(mov)) == 0.5
+    # points with dynamicness > 0.3 get big improvement from dynamic flow
+    n = 1000
+    scores = jnp.asarray(np.linspace(0, 1, n, dtype=np.float32))
+    epes_stat = jnp.where(scores > 0.3, 2.0, 0.1)
+    epes_dyn = jnp.where(scores > 0.3, 0.1, 0.5)
+    valid = jnp.ones((n,), bool)
+    for _ in range(50):
+        mov = movavg_update(mov, epes_stat, epes_dyn, scores, valid)
+    thr = float(movavg_value(mov))
+    assert 0.25 < thr < 0.35, thr
+
+
+def test_predict_step():
+    trainer = make_trainer()
+    batch = tiny_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    pred_fw, pred_bw = trainer.predict_step(state, batch)
+    assert pred_fw.aggregated_flow.shape == batch.pcl_t0.pcl.shape[:2] + (3,)
+    assert np.all(np.isfinite(np.asarray(pred_fw.aggregated_flow)))

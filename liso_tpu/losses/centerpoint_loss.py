@@ -1,0 +1,89 @@
+"""CenterPoint detection losses (penalty-reduced focal heatmap + L1 heads).
+
+Behavioral reference: liso/losses/centerpoint_loss.py:13-200. Boolean
+indexing is replaced by masked sums (same math, static shapes): all
+reductions divide by num_pos = max(1, #center cells) like the reference.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def focal_heatmap_loss(
+    pred_logits: jnp.ndarray,  # [B, h, w, 1]
+    gt_probs: jnp.ndarray,  # [B, h, w, 1] gaussian target
+    center_mask: jnp.ndarray,  # [B, h, w] bool
+    ignore_mask: Optional[jnp.ndarray] = None,  # [B, h, w] bool
+    gamma: float = 2.0,
+    alpha: float = 0.5,
+) -> jnp.ndarray:
+    """compute_focal_loss (centerpoint_loss.py:163-200): penalty-reduced
+    focal loss with (1-gt)^4 negative weighting."""
+    num_pos = jnp.maximum(center_mask.sum(), 1.0)
+    logsig = jax.nn.log_sigmoid
+    probs_pos = jax.nn.sigmoid(pred_logits)
+    probs_neg = jax.nn.sigmoid(-pred_logits)
+    pos_loss = alpha * probs_neg**gamma * logsig(pred_logits)
+    neg_loss = (
+        (1 - alpha)
+        * probs_pos**gamma
+        * (1.0 - gt_probs) ** 4.0
+        * logsig(-pred_logits)
+    )
+    cm = center_mask[..., None]
+    keep = (
+        jnp.ones_like(cm)
+        if ignore_mask is None
+        else ~ignore_mask[..., None]
+    )
+    total = (
+        jnp.where(cm & keep, pos_loss, 0.0).sum()
+        + jnp.where((~cm) & keep, neg_loss, 0.0).sum()
+    )
+    return -total / num_pos
+
+
+def centerpoint_loss(
+    *,
+    decoded_pred_maps: Dict[str, jnp.ndarray],
+    raw_activated_maps: Dict[str, jnp.ndarray],
+    gt_maps: Dict[str, jnp.ndarray],
+    center_mask: jnp.ndarray,
+    ignore_mask: Optional[jnp.ndarray] = None,
+    rotation_method: str = "vector",
+    rot_loss_weights_map: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """centerpoint_loss.py:13-136. Note the reference quirks reproduced
+    exactly: rot loss is weighted-normalised L1 on the *raw activated* rot
+    channels x10; dims/pos are `F.l1_loss(...).sum()/num_pos` which — since
+    l1_loss defaults to reduction='mean' — is mean / num_pos."""
+    losses = {}
+    m = center_mask & (~ignore_mask if ignore_mask is not None else True)
+    num_pos = jnp.maximum(center_mask.sum(), 1.0)
+
+    losses["probs"] = focal_heatmap_loss(
+        raw_activated_maps["probs"], gt_maps["probs"], center_mask, ignore_mask
+    )
+
+    # rotation: L1 on raw (sin, cos) channels at GT centers, x10
+    if rot_loss_weights_map is None:
+        w = jnp.ones_like(gt_maps["probs"][..., 0])
+    else:
+        w = rot_loss_weights_map
+    w = jnp.maximum(w, 0.1) * m
+    w = w / jnp.maximum(w.sum(), 1.0)
+    assert rotation_method in ("direct", "vector"), rotation_method
+    rot_l1 = jnp.abs(raw_activated_maps["rot"] - gt_maps["rot"]).sum(-1)
+    losses["rot"] = 10.0 * (rot_l1 * w).sum()
+
+    # dims / pos: masked mean over (cells x channels), / num_pos
+    for attr in ("dims", "pos"):
+        err = jnp.abs(decoded_pred_maps[attr] - gt_maps[attr])
+        cnt = jnp.maximum(m.sum() * err.shape[-1], 1.0)
+        losses[attr] = jnp.where(m[..., None], err, 0.0).sum() / cnt / num_pos
+
+    losses["total"] = sum(losses.values())
+    return losses

@@ -1,0 +1,162 @@
+"""Detector training harness (CenterPoint-style + centermap loss).
+
+Behavioral reference: the training-step portion of
+liso/kabsch/liso_cli.py:366-660 (forward, centermap loss, AdamW + OneCycle)
+— but the centermap targets are rendered *inside* the jitted step from the
+target boxes (liso_tpu.data.centermaps) instead of in DataLoader workers, so
+the host pipeline only ships points + box tensors. Data-parallel over the
+mesh batch axis like the SLIM trainer.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from liso_tpu.data.centermaps import render_centermaps
+from liso_tpu.losses.centerpoint_loss import centerpoint_loss
+from liso_tpu.models.box_decode import BoxPredictionCfg
+from liso_tpu.models.box_learner import BoxLearner
+from liso_tpu.ops.bev import BevSetup
+from liso_tpu.ops.boxes import Boxes
+from liso_tpu.ops.nms import batched_nms
+from liso_tpu.utils.schedules import onecycle
+
+
+class DetectorTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class DetectorTrainer:
+    def __init__(
+        self,
+        bev: BevSetup,
+        *,
+        network: str = "centerpoint",
+        box_cfg: Optional[BoxPredictionCfg] = None,
+        max_lr: float = 1e-4,
+        total_steps: int = 150_000,
+        weight_decay: float = 0.01,
+        nms_iou_threshold: float = 0.1,
+        post_max_boxes: int = 100,
+        confidence_threshold: float = 0.3,
+        use_baseline_parameters: bool = True,
+    ):
+        self.bev = bev
+        self.box_cfg = box_cfg or BoxPredictionCfg()
+        self.model = BoxLearner(
+            bev,
+            box_cfg=self.box_cfg,
+            network=network,
+            use_baseline_parameters=use_baseline_parameters,
+        )
+        self.network = network
+        self.nms_iou_threshold = nms_iou_threshold
+        self.post_max_boxes = post_max_boxes
+        self.confidence_threshold = confidence_threshold
+        # AdamW + OneCycle sized to the round length (liso_cli.py:792-823)
+        self.lr_schedule = onecycle(max_lr, total_steps)
+        self.tx = optax.adamw(self.lr_schedule, weight_decay=weight_decay)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, points, valid) -> DetectorTrainState:
+        variables = self.model.init(rng, points, valid)
+        params = variables["params"]
+        return DetectorTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, batch_stats, points, valid, target_boxes: Boxes,
+              ignore_mask, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            (flat, decoded, activated, _aux), mut = self.model.apply(
+                variables, points, valid, train=True, mutable=["batch_stats"]
+            )
+            new_bs = mut["batch_stats"]
+        else:
+            flat, decoded, activated, _aux = self.model.apply(
+                variables, points, valid, train=False
+            )
+            new_bs = batch_stats
+        grid_hw = decoded["probs"].shape[1:3]
+        gt_maps = render_centermaps(target_boxes, self.bev, grid_hw, self.box_cfg)
+        losses = centerpoint_loss(
+            decoded_pred_maps=decoded,
+            raw_activated_maps=activated,
+            gt_maps=gt_maps,
+            center_mask=gt_maps["center_bool_mask"],
+            ignore_mask=ignore_mask,
+            rotation_method=self.box_cfg.rotation_method,
+        )
+        return losses["total"], (new_bs, losses, flat)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(
+        self,
+        state: DetectorTrainState,
+        points: jnp.ndarray,
+        valid: jnp.ndarray,
+        target_boxes: Boxes,
+        ignore_mask: Optional[jnp.ndarray] = None,
+    ):
+        def loss_fn(params):
+            return self._loss(
+                params, state.batch_stats, points, valid, target_boxes,
+                ignore_mask, True,
+            )
+
+        (loss, (new_bs, losses, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {f"loss/{k}": v for k, v in losses.items()}
+        metrics["lr"] = self.lr_schedule(state.step)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            DetectorTrainState(
+                step=state.step + 1,
+                params=params,
+                batch_stats=new_bs,
+                opt_state=opt_state,
+            ),
+            metrics,
+        )
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def predict_step(
+        self, state: DetectorTrainState, points: jnp.ndarray, valid: jnp.ndarray
+    ) -> Boxes:
+        """Eval forward: decode all anchor cells, sigmoid the probs
+        (eval path applies sigmoid before NMS, eval_ours.py:360-369),
+        confidence-threshold and rotated-NMS down to post_max_boxes."""
+        flat, _, _, _ = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            valid,
+            train=False,
+        )
+        probs = jax.nn.sigmoid(flat.probs)
+        flat = flat.replace(
+            probs=probs,
+            valid=flat.valid & (probs[..., 0] >= self.confidence_threshold),
+        )
+        return batched_nms(
+            flat,
+            iou_threshold=self.nms_iou_threshold,
+            post_max_boxes=self.post_max_boxes,
+        )

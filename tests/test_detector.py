@@ -1,0 +1,116 @@
+"""Detector stack tests: centermap rendering, losses, end-to-end training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liso_tpu.data.centermaps import render_centermaps
+from liso_tpu.models.box_decode import BoxPredictionCfg
+from liso_tpu.ops.bev import BevSetup
+from liso_tpu.ops.boxes import Boxes
+from liso_tpu.train.detector_train import DetectorTrainer
+
+BEV = BevSetup(bev_range_m=(40.0, 40.0), grid_size=(64, 64))
+CFG = BoxPredictionCfg()
+
+
+def make_boxes(pos, dims, rot, k=4):
+    n = len(pos)
+    b = Boxes.empty(k, batch=(1,))
+    return b.replace(
+        pos=b.pos.at[0, :n].set(jnp.asarray(pos)),
+        dims=b.dims.at[0, :n].set(jnp.asarray(dims)),
+        rot=b.rot.at[0, :n].set(jnp.asarray(rot)),
+        probs=b.probs.at[0, :n].set(1.0),
+        valid=b.valid.at[0, :n].set(True),
+    )
+
+
+def test_centermap_rendering():
+    boxes = make_boxes(
+        pos=[[5.0, 2.0, -1.0], [-8.0, -3.0, -1.0]],
+        dims=[[4.0, 2.0, 1.5], [4.0, 2.0, 1.5]],
+        rot=[[0.3], [1.2]],
+    )
+    maps = render_centermaps(boxes, BEV, (32, 32), CFG)
+    heat = np.asarray(maps["probs"][0, ..., 0])
+    assert heat.max() > 0.99  # peak at the center cell
+    # box at (5, 2) -> row = (5+20)/40*32 = 20, col = 17.6
+    r, c = 20, 17
+    assert heat[r, c] > 0.8, heat[r, c]
+    # far away from both boxes the heat is ~0
+    assert heat[2, 30] < 1e-3
+    # center mask has exactly 2 cells
+    assert int(maps["center_bool_mask"].sum()) == 2
+    # dims map at the peak carries the box dims
+    assert np.allclose(np.asarray(maps["dims"][0, r, c]), [4.0, 2.0, 1.5], atol=1e-5)
+    # rot map is (sin, cos)
+    assert np.allclose(
+        np.asarray(maps["rot"][0, r, c]), [np.sin(0.3), np.cos(0.3)], atol=1e-5
+    )
+
+
+def test_empty_boxes_render_zero():
+    boxes = Boxes.empty(4, batch=(1,))
+    maps = render_centermaps(boxes, BEV, (32, 32), CFG)
+    assert float(maps["probs"].sum()) == 0.0
+    assert int(maps["center_bool_mask"].sum()) == 0
+
+
+def scene_with_objects(rng, n=1024):
+    """Background + 2 dense box-shaped clusters."""
+    bg = rng.uniform(-18, 18, (n - 512, 3)).astype(np.float32)
+    bg[:, 2] = rng.uniform(-1.8, 0.5, len(bg))
+    o1 = rng.uniform(-1, 1, (256, 3)).astype(np.float32) * [2.0, 1.0, 0.7] + [
+        5.0, 2.0, -1.0,
+    ]
+    o2 = rng.uniform(-1, 1, (256, 3)).astype(np.float32) * [2.0, 1.0, 0.7] + [
+        -8.0, -3.0, -1.0,
+    ]
+    pts = np.concatenate([bg, o1, o2]).astype(np.float32)
+    inten = rng.rand(n, 1).astype(np.float32)
+    return np.concatenate([pts, inten], axis=-1)
+
+
+def test_detector_trains_and_detects():
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(scene_with_objects(rng))[None]
+    valid = jnp.ones(points.shape[:2], bool)
+    target = make_boxes(
+        pos=[[5.0, 2.0, -1.0], [-8.0, -3.0, -1.0]],
+        dims=[[4.0, 2.0, 1.5], [4.0, 2.0, 1.5]],
+        rot=[[0.0], [0.0]],
+    )
+    trainer = DetectorTrainer(
+        BEV, max_lr=3e-3, total_steps=250, confidence_threshold=0.3,
+        use_baseline_parameters=False,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), points, valid)
+    losses = []
+    # BN running stats (momentum 0.99, reference parity) need a few hundred
+    # steps before eval mode matches train mode
+    for _ in range(220):
+        state, metrics = trainer.train_step(state, points, valid, target)
+        losses.append(float(metrics["loss/total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+    pred = trainer.predict_step(state, points, valid)
+    pv = np.asarray(pred.valid[0])
+    assert pv.any(), "no detections after overfitting"
+    # best box lands near one of the planted objects
+    best = np.asarray(pred.pos[0][pv])[0]
+    d = min(
+        np.linalg.norm(best[:2] - np.array([5.0, 2.0])),
+        np.linalg.norm(best[:2] - np.array([-8.0, -3.0])),
+    )
+    assert d < 3.0, (best, d)
+
+
+def test_echo_gt_network():
+    from liso_tpu.models.box_learner import BoxLearner
+
+    target = make_boxes(pos=[[1.0, 1.0, 0.0]], dims=[[4, 2, 1.5]], rot=[[0.1]])
+    model = BoxLearner(BEV, network="echo_gt")
+    pts = jnp.zeros((1, 8, 4))
+    out, _, _, _ = model.apply({}, pts, jnp.ones((1, 8), bool), gt_boxes=target)
+    assert np.allclose(np.asarray(out.pos), np.asarray(target.pos))

@@ -1,0 +1,76 @@
+"""Benchmark: fused pillarize + SLIM-flow + CenterPoint-detect forward,
+LiDAR frames/sec on one chip (BASELINE.json metric; north star >= 1000
+pillarized frames/sec/chip on v4-8 — vs_baseline is fps / 1000).
+
+Prints ONE JSON line. Shapes follow the reference's KITTI bev_100m_512
+preset (liso_config.yml): 100 m x 100 m BEV at 512x512, ~16-32k points after
+ground removal and range crop.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from liso_tpu.models.box_learner import BoxLearner
+    from liso_tpu.models.slim import SlimModel
+    from liso_tpu.ops.bev import BevSetup
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        grid, n_pts, batch = 512, 32768, 4
+    else:  # CPU smoke fallback so the bench always produces a number
+        grid, n_pts, batch = 128, 4096, 1
+
+    bev = BevSetup(bev_range_m=(100.0, 100.0), grid_size=(grid, grid))
+    slim = SlimModel(bev=bev, num_iters=6)
+    det = BoxLearner(bev, network="centerpoint", use_baseline_parameters=True)
+
+    rng = np.random.RandomState(0)
+    pts0 = jnp.asarray(rng.uniform(-45, 45, (batch, n_pts, 4)).astype(np.float32))
+    pts1 = jnp.asarray(rng.uniform(-45, 45, (batch, n_pts, 4)).astype(np.float32))
+    valid = jnp.ones((batch, n_pts), bool)
+
+    key = jax.random.PRNGKey(0)
+    slim_vars = slim.init(key, pts0, valid, pts1, valid)
+    det_vars = det.init(key, pts0, valid)
+
+    @jax.jit
+    def fused(pts0, valid0, pts1, valid1):
+        out_fw, _, _, _ = slim.apply(slim_vars, pts0, valid0, pts1, valid1)
+        boxes, _, _, _ = det.apply(det_vars, pts0, valid0)
+        return out_fw[-1][..., 4:6], boxes.pos, boxes.probs
+
+    # warmup / compile
+    r = fused(pts0, valid, pts1, valid)
+    jax.block_until_ready(r)
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fused(pts0, valid, pts1, valid)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fused_flow_detect_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": f"frames/s (grid {grid}, {n_pts} pts, batch {batch}, "
+                f"{jax.devices()[0].platform})",
+                "vs_baseline": round(fps / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

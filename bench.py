@@ -43,7 +43,11 @@ def main():
 
     @jax.jit
     def fused(pts0, valid0, pts1, valid1):
-        out_fw, _, _, _ = slim.apply(slim_vars, pts0, valid0, pts1, valid1)
+        # inference path: forward direction only, final-iteration upsample
+        out_fw, _, _, _ = slim.apply(
+            slim_vars, pts0, valid0, pts1, valid1,
+            backward=False, upsample_all=False,
+        )
         boxes, _, _, _ = det.apply(det_vars, pts0, valid0)
         return out_fw[-1][..., 4:6], boxes.pos, boxes.probs
 

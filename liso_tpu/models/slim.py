@@ -120,6 +120,8 @@ class SlimModel(nn.Module):
         pcl_t1: jnp.ndarray,
         valid_t1: jnp.ndarray,
         train: bool = False,
+        backward: bool = True,
+        upsample_all: bool = True,
     ):
         enc = PillarEncoder(
             self.bev, num_channels=self.pillar_channels, name="pillar_encoder"
@@ -139,6 +141,8 @@ class SlimModel(nn.Module):
             ),
             name="raft",
         )
-        outputs_fw = raft(img0, img1)
-        outputs_bw = raft(img1, img0)
+        outputs_fw = raft(img0, img1, upsample_all=upsample_all)
+        outputs_bw = (
+            raft(img1, img0, upsample_all=upsample_all) if backward else None
+        )
         return outputs_fw, outputs_bw, occ0[..., 0], occ1[..., 0]

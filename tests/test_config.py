@@ -1,0 +1,87 @@
+"""Config system tests — semantics of the reference config_helper
+(config_helper/tests/test_sample.py analogue)."""
+from pathlib import Path
+
+import pytest
+
+from liso_tpu.utils.config import (
+    get_config_hash,
+    parse_config,
+    save_config,
+    load_yaml_config,
+)
+
+CFG = Path(__file__).parent.parent / "liso_tpu" / "config" / "liso_config.yml"
+
+
+def test_default_loads():
+    cfg = parse_config(CFG)
+    assert cfg.data.source == "toy"
+    assert cfg.data.bev_range_m == (40.0, 40.0)  # !tuple tag
+    assert cfg.data.tracking_cfg.min_track_age == 4
+    assert cfg.SLIM.model.num_iters == 6
+
+
+def test_overlay_composition():
+    cfg = parse_config(CFG, extra_cfg_args=["kitti", "bev_100m_512", "centerpoint"])
+    assert cfg.data.source == "kitti"
+    assert cfg.data.img_grid_size == (512, 512)
+    # centerpoint meta_cfgs pull in predict_absolute_box_size + rot vector
+    assert cfg.box_prediction.dimensions_representation.method == "predict_abs_size"
+    assert cfg.box_prediction.rotation_representation.method == "vector"
+    assert cfg.box_prediction.position_representation.method == "local_relative_offset"
+    assert cfg.box_prediction.activations.pos == "tanh"
+
+
+def test_liso_meta_cfg_recursion():
+    cfg = parse_config(CFG, extra_cfg_args=["kitti", "centerpoint", "liso"])
+    # via liso -> train_250k_steps, kiss_icp_odom, rounds_30k, box_augm...
+    assert cfg.optimization.num_training_steps == 250000
+    assert cfg.data.odom_source == "kiss_icp"
+    assert cfg.optimization.rounds.active is True
+    assert cfg.optimization.rounds.steps_per_round == 30000
+    assert cfg.data.augmentation.boxes.active is True
+    assert cfg.data.augmentation.boxes.use_raydrop_augm is True
+    assert cfg.data.flow_source == "slim_bev_120m"
+    assert cfg.optimization.rounds.confidence_threshold_mined_boxes == 0.3
+    assert cfg.data.img_grid_size == (512, 512)
+
+
+def test_kv_updates():
+    cfg = parse_config(
+        CFG,
+        key_value_updates=[
+            ["data", "batch_size", "8"],
+            ["SLIM", "model", "num_iters", "2"],
+        ],
+    )
+    assert cfg.data.batch_size == 8
+    assert cfg.SLIM.model.num_iters == 2
+
+
+def test_kv_update_unknown_key_rejected():
+    with pytest.raises(AssertionError):
+        parse_config(CFG, key_value_updates=[["data", "nonexistent", "1"]])
+
+
+def test_overlay_unknown_key_rejected(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text("default:\n  a: 1\nbad:\n  b: 2\n")
+    with pytest.raises(AssertionError):
+        parse_config(p, extra_cfg_args=["bad"])
+
+
+def test_hash_stable_and_sensitive():
+    c1 = parse_config(CFG)
+    c2 = parse_config(CFG)
+    assert get_config_hash(c1) == get_config_hash(c2)
+    c3 = parse_config(CFG, key_value_updates=[["data", "batch_size", "9"]])
+    assert get_config_hash(c1) != get_config_hash(c3)
+
+
+def test_save_roundtrip(tmp_path):
+    cfg = parse_config(CFG, extra_cfg_args=["kitti"])
+    save_config(cfg, tmp_path / "config.yml")
+    again = load_yaml_config(tmp_path / "config.yml")
+    assert again.data.source == "kitti"
+    assert again.data.tracking_cfg.min_track_age == 4

@@ -1,0 +1,135 @@
+"""Data layer tests: synthetic dataset, padding, flow consistency,
+augmentation, pipeline."""
+import numpy as np
+import pytest
+
+from liso_tpu.data.augmentation import (
+    BoxAugmCfg,
+    augment_sample_content,
+    paste_boxes_into_sample,
+)
+from liso_tpu.data.dataset import DataCfg, collate
+from liso_tpu.data.pipeline import Prefetcher
+from liso_tpu.data.synthetic import SyntheticDataset
+from liso_tpu.ops.bev import BevSetup
+
+CFG = DataCfg(
+    bev=BevSetup((40.0, 40.0), (64, 64)),
+    n_max=8192,
+    m_max=16384,
+    k_max_boxes=8,
+    use_skip_frames="never",
+)
+
+
+def test_synthetic_sample_shapes():
+    ds = SyntheticDataset(CFG, n_frames=4)
+    s = ds[0]
+    assert s.frame_t0.pcl.shape == (8192, 4)
+    assert s.frame_t0.valid.sum() > 1000
+    assert s.flow_t0_t1.shape == (8192, 3)
+    assert s.gt_boxes is not None and s.gt_boxes["pos"].shape == (8, 3)
+    assert s.gt_boxes["valid"].sum() == 2
+    # ground removed from the cropped view
+    v = s.frame_t0.valid
+    assert s.frame_t0.pcl[v][:, 2].min() > -1.6
+    # full view keeps ground
+    fv = s.frame_t0.full_valid
+    assert s.frame_t0.pcl_full[fv][:, 2].min() < -1.6
+
+
+def test_gt_flow_matches_object_motion():
+    ds = SyntheticDataset(CFG, n_frames=4)
+    s = ds[0]
+    v = s.frame_t0.valid
+    flow = s.flow_t0_1 if hasattr(s, "flow_t0_1") else s.flow_t0_t1
+    mag = np.linalg.norm(flow[v], axis=-1)
+    # moving-object points have flow ~ their speed; ego-motion flow for
+    # static points = 0.5 m/frame backwards
+    assert mag.max() > 0.7
+    assert np.isfinite(flow).all()
+    # consistency: warping t0 points by flow should land near t1 points
+    p0 = s.frame_t0.pcl[v][:, :3]
+    warped = p0 + flow[v]
+    p1 = s.frame_t1.pcl[s.frame_t1.valid][:, :3]
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(p1).query(warped, k=1)
+    assert np.median(d) < 0.3, np.median(d)
+
+
+def test_skip_frames_doubles_time_delta():
+    ds = SyntheticDataset(CFG._replace(use_skip_frames="only"), n_frames=4)
+    s = ds[0]
+    assert s.time_delta_s == pytest.approx(0.2)
+
+
+def test_global_augmentation_consistency():
+    ds = SyntheticDataset(CFG, n_frames=4)
+    content = ds.load_sample_dict(0)
+    rng = np.random.RandomState(0)
+    aug = augment_sample_content(content, rng)
+    T = aug["_augm_T"]
+    # points transformed
+    p_orig = content["pcl_t0"][:, :3]
+    p_aug = aug["pcl_t0"][:, :3]
+    assert np.allclose(p_aug, p_orig @ T[:3, :3].T + T[:3, 3], atol=1e-5)
+    # odom conjugated: aug_odom = T O T^-1
+    o = np.asarray(content["odom_t0_t1"])
+    assert np.allclose(aug["odom_t0_t1"], T @ o @ np.linalg.inv(T), atol=1e-9)
+    # boxes moved with the points: box center still inside its point cluster
+    b_aug = aug["gt"]["boxes"]
+    b_orig = content["gt"]["boxes"]
+    assert np.allclose(
+        b_aug["pos"], b_orig["pos"] @ T[:3, :3].T + T[:3, 3], atol=1e-5
+    )
+    # flow rotated only
+    f = content["gt"]["flow_t0_t1"]
+    assert np.allclose(aug["gt"]["flow_t0_t1"], f @ T[:3, :3].T, atol=1e-5)
+
+
+def test_copy_paste_augmentation():
+    rng = np.random.RandomState(0)
+    # build a tiny augm db with one snippet
+    snippet = rng.uniform(-1, 1, (200, 4)).astype(np.float32) * [2, 1, 0.8, 1]
+    db = {
+        "pcl_in_box_cosy": [snippet],
+        "lidar_rows": [rng.randint(0, 64, 200)],
+        "boxes": {
+            "pos": np.array([[8.0, 0.0, -1.0]], np.float32),
+            "dims": np.array([[4.0, 2.0, 1.6]], np.float32),
+            "rot": np.zeros((1, 1), np.float32),
+            "probs": np.ones((1, 1), np.float32),
+            "velo": np.zeros((1, 1), np.float32),
+        },
+        "box_T_sensor": np.eye(4)[None],
+        "unique_track_id": np.array([7]),
+    }
+    pcl = rng.uniform(-15, 15, (1000, 4)).astype(np.float32)
+    rows = rng.randint(0, 64, 1000)
+    out_pcl, out_rows, boxes = paste_boxes_into_sample(
+        pcl, rows, db, rng, (40.0, 40.0), BoxAugmCfg(max_num_objs=1,
+                                                     max_points_dropout=0.0),
+        occupied_xy=np.zeros((0, 2)),
+    )
+    assert len(out_pcl) > len(pcl)
+    assert len(boxes["pos"]) == 1
+    # pasted points sit near their box center
+    n_new = len(out_pcl) - len(pcl)
+    new_pts = out_pcl[-n_new:]
+    d = np.linalg.norm(new_pts[:, :2] - boxes["pos"][-1][:2], axis=-1)
+    assert d.max() < 4.0
+    # pasted box keeps its range from sensor (density plausibility)
+    assert abs(np.linalg.norm(boxes["pos"][0][:2]) - 8.0) < 1e-3
+
+
+def test_collate_and_prefetcher():
+    ds = SyntheticDataset(CFG, n_frames=6)
+    loader = Prefetcher(ds, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(iter(loader))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["pcl_t0"].shape == (2, 8192, 4)
+    assert b["odom_t0_t1"].shape == (2, 4, 4)
+    assert b["target_boxes"]["pos"].shape == (2, 8, 3)
+    assert len(b["sample_id"]) == 2

@@ -1,0 +1,79 @@
+"""CLI plumbing shared by all entry points.
+
+Behavioral reference: liso/utils/config_helper_helper.py:27-175
+(parse_cli_args / load_handle_args_cfg_logdir) and the fast-test config
+rewrite of liso/kabsch/liso_cli.py:97-121. Flags and log-dir naming
+(summary_dir / cfg_hash[:5] / datetime) match the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import random
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+from liso_tpu.utils.config import Config, get_config_hash, parse_config, save_config
+
+DEFAULT_CFG = Path(__file__).parent.parent / "config" / "liso_config.yml"
+
+
+def parse_cli_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", default=str(DEFAULT_CFG))
+    p.add_argument("-c", "--configs", nargs="*", default=[],
+                   help="overlay names composed onto default")
+    p.add_argument("-kv", "--key_value", nargs="+", action="append",
+                   default=None, help="dotpath value updates")
+    p.add_argument("--fast-test", dest="fast_test", action="store_true")
+    p.add_argument("--summary_dir", default="/tmp/liso_tpu_logs")
+    p.add_argument("--load_checkpoint", default=None)
+    p.add_argument("--finetune", action="store_true")
+    p.add_argument("--inference-only", dest="inference_only",
+                   action="store_true")
+    p.add_argument("--world_size", type=int, default=1)
+    p.add_argument("--worker_id", type=int, default=0)
+    p.add_argument("--keep_going_after_x_it", type=int, default=None)
+    args = p.parse_args(argv)
+    assert args.world_size > args.worker_id, (args.world_size, args.worker_id)
+    return args
+
+
+def apply_fast_test(cfg: Config) -> Config:
+    """liso_cli.py:97-121: shrink the run so every code path executes."""
+    cfg.optimization.rounds.active = True
+    cfg.optimization.rounds.steps_per_round = 3
+    cfg.optimization.num_training_steps = 6
+    cfg.validation.val_every_n_steps = 3
+    cfg.validation.num_val_steps = 2
+    cfg.validation.num_val_on_train_steps = 2
+    cfg.checkpoint.save_model_every = 3
+    cfg.logging.img_log_interval = 3
+    cfg.data.num_workers = 2
+    cfg.data.tracking_cfg.min_track_age = 2
+    cfg.data.tracking_cfg.max_augm_db_size_mb = 1
+    cfg.SLIM.iterations.train = 3
+    cfg.SLIM.iterations.eval_every = 2
+    cfg.SLIM.iterations.full_eval_every = 2
+    return cfg
+
+
+def set_seed(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def load_cfg_make_logdir(args, exp_name: str):
+    cfg = parse_config(
+        args.config_file, args.configs, args.key_value
+    )
+    if args.fast_test:
+        cfg = apply_fast_test(cfg)
+    set_seed(int(cfg.seed))
+    cfg_hash = get_config_hash(cfg)[:5]
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_dir = Path(args.summary_dir) / exp_name / cfg_hash / stamp
+    log_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, log_dir / "config.yml")
+    return cfg, log_dir

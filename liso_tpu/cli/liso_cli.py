@@ -1,0 +1,53 @@
+"""LISO self-training CLI.
+
+Behavioral reference: liso/kabsch/liso_cli.py:58-723. Usage mirrors the
+reference:
+  python -m liso_tpu.cli.liso_cli -c kitti bev_100m_512 centerpoint \
+      batch_size_four liso [--fast-test]
+"""
+from __future__ import annotations
+
+from liso_tpu.cli.common import load_cfg_make_logdir, parse_cli_args
+from liso_tpu.cli.slim_cli import build_datasets
+from liso_tpu.data.dataset import DataCfg
+from liso_tpu.train.liso_loop import LisoSelfTraining
+
+
+def main(argv=None):
+    args = parse_cli_args(argv)
+    cfg, log_dir = load_cfg_make_logdir(args, "liso")
+    train_ds, val_ds, bev = build_datasets(cfg, args.fast_test)
+    dcfg = train_ds.cfg
+
+    source = str(cfg.data.source)
+
+    def factory(mined_db):
+        if source in ("toy", "synthetic"):
+            from liso_tpu.data.synthetic import SyntheticDataset
+
+            n_frames = 8 if args.fast_test else 64
+            return SyntheticDataset(
+                dcfg, n_frames=n_frames, seed=0, mined_boxes_db=mined_db
+            )
+        from liso_tpu.data.kitti import KittiRawDataset
+
+        from pathlib import Path
+
+        return KittiRawDataset(
+            dcfg, Path(cfg.data.paths.kitti.local), mined_boxes_db=mined_db
+        )
+
+    loop = LisoSelfTraining(cfg, factory, val_ds, log_dir, data_cfg=dcfg)
+    loop.run(
+        total_steps=int(cfg.optimization.num_training_steps),
+        fast_test=args.fast_test,
+    )
+    metrics = loop.validate(int(cfg.optimization.num_training_steps),
+                            fast_test=args.fast_test)
+    print({k: round(v, 4) for k, v in metrics.items() if "mAP" in k})
+    print(f"done; logs in {log_dir}")
+    return log_dir
+
+
+if __name__ == "__main__":
+    main()

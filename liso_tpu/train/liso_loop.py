@@ -1,0 +1,380 @@
+"""LISO self-training rounds orchestration.
+
+Behavioral reference: liso/kabsch/liso_cli.py:58-723 (main loop). Every
+`steps_per_round` steps (and at step 0) the current detector — round 0: the
+flow-cluster bootstrap — re-mines the box DB and augmentation DB over whole
+drive sequences, the train dataset is rebuilt with the new DBs, and the
+network + optimizer are optionally reset (drop_net_weights_every_nth_round,
+liso_cli.py:166-178,687-696). Training itself is the jitted centermap-loss
+detector step on mined + copy-pasted boxes.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liso_tpu.data.augmentation import BoxAugmCfg, paste_boxes_into_sample
+from liso_tpu.data.dataset import DataCfg, LidarDataset, collate, pad_boxes, pad_to
+from liso_tpu.data.pipeline import Prefetcher
+from liso_tpu.eval.run_val import mined_db_predictor, run_val
+from liso_tpu.models.box_decode import BoxPredictionCfg
+from liso_tpu.models.flow_cluster_detector import (
+    FlowClusterCfg,
+    detect_boxes_from_flow,
+)
+from liso_tpu.ops.bev import BevSetup, point_cell_ids
+from liso_tpu.ops.boxes import Boxes
+from liso_tpu.tracker.dbs import (
+    save_augm_db,
+    save_mined_boxes_db,
+    shrink_augm_db,
+)
+from liso_tpu.tracker.mining import Frame, MiningCfg, mine_sequence
+from liso_tpu.train.detector_train import DetectorTrainer
+from liso_tpu.utils.tb import TBFactory
+
+
+def frames_from_dataset(dataset: LidarDataset, idxs: List[int]) -> List[Frame]:
+    frames = []
+    for i in idxs:
+        s = dataset[i]
+        v = s.frame_t0.valid
+        frames.append(
+            Frame(
+                sample_id=s.sample_id,
+                pcl=s.frame_t0.pcl[v],
+                valid=np.ones(int(v.sum()), bool),
+                flow=s.flow_t0_t1[v],
+                odom_ta_tb=np.asarray(s.odom_t0_t1, np.float64),
+                lidar_rows=s.frame_t0.rows[v],
+            )
+        )
+    return frames
+
+
+class LisoSelfTraining:
+    def __init__(
+        self,
+        cfg,  # Config tree (liso_config.yml semantics)
+        train_dataset_factory: Callable[[Optional[dict]], LidarDataset],
+        val_dataset: Optional[LidarDataset],
+        log_dir,
+        data_cfg: DataCfg,
+    ):
+        self.cfg = cfg
+        self.data_cfg = data_cfg
+        self.bev = data_cfg.bev
+        self.train_dataset_factory = train_dataset_factory
+        self.val_dataset = val_dataset
+        self.log_dir = Path(log_dir)
+        self.tb = TBFactory(self.log_dir / "tb")
+
+        tc = cfg.data.tracking_cfg
+        self.mining_cfg_bootstrap = MiningCfg(
+            min_track_age=int(tc.min_track_age),
+            track_confidence_threshold=float(
+                cfg.optimization.rounds.confidence_threshold_mined_boxes
+            ),
+            min_points_in_box=int(tc.min_points_in_box),
+            box_matching_threshold_m=float(tc.track_matching_threshold_m),
+            min_track_obj_speed_mps=float(
+                tc.flow_cluster_detector_min_obj_speed_mps
+            ),
+            flow_cluster_min_travel_dist_m=float(
+                tc.flow_cluster_detector_min_travel_dist_filter_m
+            ),
+            is_flow_cluster_detector=True,
+            dims_quantile=0.95,
+            fit_rot=bool(tc.fit_box_to_points.fit_rot),
+            fit_pos=bool(tc.fit_box_to_points.fit_pos),
+        )
+        self.mining_cfg_detector = self.mining_cfg_bootstrap._replace(
+            is_flow_cluster_detector=False,
+            align_yaw_with_motion=bool(tc.align_predicted_boxes_using_flow),
+            dims_quantile=0.6,
+        )
+
+        bp = cfg.box_prediction
+        self.box_cfg = BoxPredictionCfg(
+            position_method=bp.position_representation.method,
+            num_box_pos_dims=int(bp.position_representation.num_box_pos_dims),
+            box_z_pos_prior_min=float(bp.position_representation.box_z_pos_prior_min),
+            box_z_pos_prior_max=float(bp.position_representation.box_z_pos_prior_max),
+            dimensions_method=bp.dimensions_representation.method,
+            box_len_prior_min=float(bp.dimensions_representation.box_len_prior_min),
+            box_len_prior_max=float(bp.dimensions_representation.box_len_prior_max),
+            rotation_method=bp.rotation_representation.method,
+            activations=dict(bp.activations),
+        )
+        self.trainer = self._make_trainer()
+        self.state = None
+        self.round_idx = 0
+        self.mined_db: Optional[dict] = None
+        self.augm_db: Optional[dict] = None
+        self.rng = np.random.RandomState(int(cfg.seed))
+        self.box_augm_cfg = BoxAugmCfg(
+            max_num_objs=int(cfg.data.augmentation.boxes.max_num_objs),
+            use_raydrop_augm=bool(cfg.data.augmentation.boxes.use_raydrop_augm),
+            max_scale_delta=float(cfg.data.augmentation.boxes.max_scale_delta),
+        )
+
+    def _make_trainer(self) -> DetectorTrainer:
+        opt = self.cfg.optimization
+        steps = (
+            int(opt.rounds.steps_per_round)
+            if opt.rounds.active
+            else int(opt.num_training_steps)
+        )
+        return DetectorTrainer(
+            self.bev,
+            network=self.cfg.network.name,
+            box_cfg=self.box_cfg,
+            max_lr=float(opt.learning_rate),
+            total_steps=steps,
+            nms_iou_threshold=float(self.cfg.nms_iou_threshold),
+            post_max_boxes=int(
+                self.cfg.data.tracking_cfg.max_num_boxes_after_nms
+            ),
+            confidence_threshold=float(
+                self.cfg.optimization.rounds.confidence_threshold_mined_boxes
+            ),
+            use_baseline_parameters=bool(
+                self.cfg.network.centerpoint.use_baseline_parameters
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def _bootstrap_detect_fn(self):
+        bev = self.bev
+        fc_cfg = FlowClusterCfg(
+            min_residual_flow_thresh_mps=1.0,
+            k_max=int(self.cfg.data.tracking_cfg.max_num_boxes_after_nms),
+        )
+
+        def detect(frame: Frame) -> Boxes:
+            pcl = jnp.asarray(frame.pcl)
+            valid = jnp.asarray(frame.valid)
+            cell, _, _ = point_cell_ids(pcl[:, :2], bev, valid)
+            return detect_boxes_from_flow(
+                pcl, valid, cell, jnp.asarray(frame.flow),
+                jnp.asarray(frame.odom_ta_tb, jnp.float32), pcl, valid,
+                jnp.asarray(self.data_cfg.time_delta_s), bev, fc_cfg,
+            )
+
+        return detect
+
+    def _detector_detect_fn(self):
+        trainer, state = self.trainer, self.state
+        n_max = self.data_cfg.n_max
+
+        def detect(frame: Frame) -> Boxes:
+            pts, valid = pad_to(frame.pcl, n_max)
+            boxes = trainer.predict_step(
+                state, jnp.asarray(pts)[None], jnp.asarray(valid)[None]
+            )
+            return jax.tree.map(lambda x: x[0], boxes)
+
+        return detect
+
+    # ------------------------------------------------------------------
+    def mine(self, dataset: LidarDataset) -> None:
+        """liso_cli.py:180-272 mining trigger."""
+        t0 = time.time()
+        detect_fn = (
+            self._bootstrap_detect_fn()
+            if self.round_idx == 0 or self.state is None
+            else self._detector_detect_fn()
+        )
+        mcfg = (
+            self.mining_cfg_bootstrap
+            if self.round_idx == 0
+            else self.mining_cfg_detector
+        )
+        mined: Dict[str, dict] = {}
+        augm = None
+        n_seqs = 0
+        for seq in self._sequences(dataset):
+            frames = frames_from_dataset(dataset, seq)
+            result = mine_sequence(frames, detect_fn, mcfg, self.bev)
+            mined.update(result["mined_db"])
+            if augm is None:
+                augm = result["augm_db"]
+            else:
+                for k in augm:
+                    augm[k].extend(result["augm_db"][k])
+            n_seqs += 1
+        augm = shrink_augm_db(
+            augm, float(self.cfg.data.tracking_cfg.max_augm_db_size_mb)
+        )
+        self.mined_db, self.augm_db = mined, augm
+        out = self.log_dir / f"mined_round_{self.round_idx}"
+        save_mined_boxes_db(mined, out / "tracked")
+        save_augm_db(augm, out / "augm_db")
+        n_boxes = sum(len(v["track_id"]) for v in mined.values())
+        w = self.tb("train", "mining/")
+        w.add_scalar("num_mined_boxes", n_boxes, self.round_idx)
+        w.add_scalar("mining_time_s", time.time() - t0, self.round_idx)
+        print(
+            f"round {self.round_idx}: mined {n_boxes} boxes over {n_seqs} "
+            f"sequences in {time.time() - t0:.0f}s"
+        )
+
+    def _sequences(self, dataset: LidarDataset) -> List[List[int]]:
+        try:
+            return [dataset.get_consecutive_sample_idxs_for_sequence(0)]
+        except NotImplementedError:
+            return [list(range(len(dataset)))]
+
+    # ------------------------------------------------------------------
+    def _prepare_batch(self, batch: dict):
+        """Copy-paste augmentation + target assembly (host), then device."""
+        pcl = np.array(batch["pcl_t0"])
+        valid = np.array(batch["valid_t0"])
+        targets = {k: np.array(v) for k, v in batch["target_boxes"].items()}
+        if (
+            self.augm_db is not None
+            and self.cfg.data.augmentation.boxes.active
+            and len(self.augm_db["boxes"]) > 0
+        ):
+            from liso_tpu.tracker.dbs import finalize_augm_db
+
+            db = finalize_augm_db(self.augm_db)
+            b, n_max = valid.shape
+            for i in range(b):
+                base = pcl[i][valid[i]]
+                rows = np.zeros(len(base), np.int64)
+                new_pcl, _, pasted = paste_boxes_into_sample(
+                    base, rows, db, self.rng, self.bev.bev_range_m,
+                    self.box_augm_cfg,
+                )
+                p_padded, v_padded = pad_to(new_pcl, n_max)
+                pcl[i], valid[i] = p_padded, v_padded
+                if len(pasted["pos"]):
+                    k_slots = targets["pos"].shape[1]
+                    kv = int(targets["valid"][i].sum())
+                    n_add = min(len(pasted["pos"]), k_slots - kv)
+                    for key in ("pos", "dims", "rot", "probs", "velo"):
+                        if key in targets:
+                            targets[key][i, kv : kv + n_add] = pasted[key][:n_add]
+                    targets["valid"][i, kv : kv + n_add] = True
+        boxes = Boxes(
+            pos=jnp.asarray(targets["pos"]),
+            dims=jnp.asarray(targets["dims"]),
+            rot=jnp.asarray(targets["rot"]),
+            probs=jnp.asarray(targets["probs"]),
+            velo=jnp.asarray(targets.get("velo")),
+            valid=jnp.asarray(targets["valid"]),
+        ).with_defaults()
+        return jnp.asarray(pcl), jnp.asarray(valid), boxes
+
+    # ------------------------------------------------------------------
+    def run(self, total_steps: Optional[int] = None, fast_test: bool = False):
+        opt = self.cfg.optimization
+        total_steps = total_steps or int(opt.num_training_steps)
+        steps_per_round = (
+            int(opt.rounds.steps_per_round) if opt.rounds.active else total_steps
+        )
+        drop_every = int(opt.rounds.drop_net_weights_every_nth_round)
+        val_every = int(self.cfg.validation.val_every_n_steps)
+
+        dataset = self.train_dataset_factory(None)
+        loader = None
+        train_iter = None
+        metrics_hist = []
+
+        for step in range(total_steps):
+            if step % steps_per_round == 0:
+                self.mine(dataset)
+                if self.mined_db is not None and self.val_dataset is not None:
+                    val_loader = Prefetcher(
+                        self.val_dataset, batch_size=1, shuffle=False,
+                        num_workers=2,
+                    )
+                    mined_metrics = run_val(
+                        iter(val_loader),
+                        mined_db_predictor(self.mined_db),
+                        max_batches=4 if fast_test else None,
+                    )
+                    self.tb("val", "mined_boxes/").add_scalars(
+                        {k: v for k, v in mined_metrics.items()
+                         if k.startswith(("mAP", "AP_overall_overall"))},
+                        step,
+                    )
+                dataset = self.train_dataset_factory(self.mined_db)
+                loader = Prefetcher(
+                    dataset,
+                    batch_size=int(self.cfg.data.batch_size),
+                    num_workers=int(self.cfg.data.num_workers) or 1,
+                )
+                train_iter = iter(loader)
+                if (
+                    self.round_idx > 0
+                    and drop_every > 0
+                    and self.round_idx % drop_every == 0
+                ):
+                    print(f"round {self.round_idx}: resetting net + optimizer")
+                    self.state = None
+                self.round_idx += 1
+
+            try:
+                batch = next(train_iter)
+            except StopIteration:
+                train_iter = iter(loader)
+                batch = next(train_iter)
+
+            pts, valid, target = self._prepare_batch(batch)
+            if self.state is None:
+                self.state = self.trainer.init_state(
+                    jax.random.PRNGKey(int(self.cfg.seed) + self.round_idx),
+                    pts, valid,
+                )
+            self.state, metrics = self.trainer.train_step(
+                self.state, pts, valid, target
+            )
+            metrics_hist.append(float(metrics["loss/total"]))
+            self.tb.global_step = step
+            if step % int(self.cfg.logging.log_interval) == 0:
+                self.tb("train", "loss/").add_scalars(
+                    {k: float(v) for k, v in metrics.items()}, step
+                )
+
+            if val_every and step > 0 and step % val_every == 0:
+                self.validate(step, fast_test)
+        return metrics_hist
+
+    def validate(self, step: int, fast_test: bool = False):
+        if self.val_dataset is None:
+            return {}
+        loader = Prefetcher(
+            self.val_dataset, batch_size=1, shuffle=False, num_workers=2
+        )
+        trainer, state = self.trainer, self.state
+
+        def predict(batch):
+            boxes = trainer.predict_step(
+                state, jnp.asarray(batch["pcl_t0"]),
+                jnp.asarray(batch["valid_t0"]),
+            )
+            return {
+                "pos": np.asarray(boxes.pos),
+                "dims": np.asarray(boxes.dims),
+                "rot": np.asarray(boxes.rot),
+                "probs": np.asarray(boxes.probs),
+                "velo": np.asarray(boxes.velo),
+                "valid": np.asarray(boxes.valid),
+            }
+
+        metrics = run_val(
+            iter(loader), predict, max_batches=4 if fast_test else None
+        )
+        self.tb("val", "detector/").add_scalars(
+            {k: v for k, v in metrics.items()
+             if k.startswith(("mAP", "AP_overall_overall", "ATE", "AOE"))},
+            step,
+        )
+        return metrics

@@ -36,9 +36,10 @@ def onecycle(
     final_div_factor: float = 1e4,
 ) -> optax.Schedule:
     """torch OneCycleLR (cosine annealing strategy) equivalent used for the
-    detector (liso_cli.py:815-823)."""
+    detector (liso_cli.py:815-823). optax's onecycle NaNs when a phase has
+    zero steps (fast-test configs with ~3 steps/round), so clamp."""
     return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
+        transition_steps=max(total_steps, 10),
         peak_value=max_lr,
         pct_start=pct_start,
         div_factor=div_factor,

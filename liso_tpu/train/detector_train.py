@@ -18,7 +18,7 @@ import optax
 from flax import struct
 
 from liso_tpu.data.centermaps import render_centermaps
-from liso_tpu.losses.centerpoint_loss import centerpoint_loss
+from liso_tpu.losses.centerpoint_loss import centerpoint_loss, focal_heatmap_loss
 from liso_tpu.models.box_decode import BoxPredictionCfg
 from liso_tpu.models.box_learner import BoxLearner
 from liso_tpu.ops.bev import BevSetup
@@ -81,15 +81,36 @@ class DetectorTrainer:
               ignore_mask, train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
-            (flat, decoded, activated, _aux), mut = self.model.apply(
+            (flat, decoded, activated, aux), mut = self.model.apply(
                 variables, points, valid, train=True, mutable=["batch_stats"]
             )
             new_bs = mut["batch_stats"]
         else:
-            flat, decoded, activated, _aux = self.model.apply(
+            flat, decoded, activated, aux = self.model.apply(
                 variables, points, valid, train=False
             )
             new_bs = batch_stats
+        if self.network == "transfusion":
+            # heatmap focal + hungarian set loss x0.25
+            # (liso_cli.py:548-580, liso_config.yml:570-575)
+            from liso_tpu.losses.hungarian_loss import hungarian_matching_loss
+
+            heatmap = aux["heatmap"]
+            grid_hw = heatmap.shape[1:3]
+            gt_maps = render_centermaps(
+                target_boxes, self.bev, grid_hw, self.box_cfg
+            )
+            losses = {
+                "heatmap": focal_heatmap_loss(
+                    heatmap, gt_maps["probs"], gt_maps["center_bool_mask"],
+                    ignore_mask,
+                )
+            }
+            hung = hungarian_matching_loss(target_boxes, flat)
+            for k, v in hung.items():
+                losses[f"hungarian_{k}"] = 0.25 * v
+            losses["total"] = sum(losses.values())
+            return losses["total"], (new_bs, losses, flat)
         grid_hw = decoded["probs"].shape[1:3]
         gt_maps = render_centermaps(target_boxes, self.bev, grid_hw, self.box_cfg)
         losses = centerpoint_loss(

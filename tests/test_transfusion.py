@@ -1,0 +1,87 @@
+"""TransFusion query detector + hungarian loss tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liso_tpu.losses.hungarian_loss import hungarian_matching_loss
+from liso_tpu.models.box_decode import BoxPredictionCfg
+from liso_tpu.ops.bev import BevSetup
+from liso_tpu.ops.boxes import Boxes
+from liso_tpu.train.detector_train import DetectorTrainer
+from tests.test_detector import make_boxes, scene_with_objects
+
+BEV = BevSetup((40.0, 40.0), (64, 64))
+# transfusion preset: global_absolute + abs size + vector rot + none acts
+TF_CFG = BoxPredictionCfg(
+    position_method="global_absolute",
+    dimensions_method="predict_abs_size",
+    rotation_method="vector",
+    activations={"pos": "none", "dims": "none", "rot": "none",
+                 "probs": "none"},
+)
+
+
+def boxes_of(pos, probs, valid=None, k=None):
+    pos = np.asarray(pos, np.float32)
+    k = k or len(pos)
+    b = Boxes.empty(k, batch=(1,))
+    n = len(pos)
+    return b.replace(
+        pos=b.pos.at[0, :n].set(jnp.asarray(pos)),
+        dims=b.dims.at[0, :n].set(2.0),
+        probs=b.probs.at[0, :n].set(jnp.asarray(probs)[:, None]),
+        valid=b.valid.at[0, :n].set(True if valid is None else
+                                    jnp.asarray(valid)),
+    )
+
+
+def test_hungarian_loss_zero_for_perfect_match():
+    gt = boxes_of([[0, 0, 0], [5, 5, 0]], [1.0, 1.0])
+    pred = boxes_of([[0, 0, 0], [5, 5, 0]], [20.0, 20.0], k=8)
+    losses = hungarian_matching_loss(gt, pred)
+    assert float(losses["pos"]) < 1e-6
+    assert float(losses["dims"]) < 1e-6
+    # matched queries pushed up, unmatched (8 slots, 6 invalid are ignored)
+    assert np.isfinite(float(losses["probs"]))
+
+
+def test_hungarian_loss_penalizes_offset():
+    gt = boxes_of([[0, 0, 0]], [1.0])
+    pred_good = boxes_of([[0.1, 0, 0]], [5.0], k=4)
+    pred_bad = boxes_of([[1.5, 0, 0]], [5.0], k=4)
+    l_good = float(hungarian_matching_loss(gt, pred_good)["pos"])
+    l_bad = float(hungarian_matching_loss(gt, pred_bad)["pos"])
+    assert l_bad > l_good > 0
+
+
+def test_hungarian_no_match_beyond_threshold():
+    gt = boxes_of([[0, 0, 0]], [1.0])
+    pred = boxes_of([[50, 50, 0]], [5.0], k=4)
+    losses = hungarian_matching_loss(gt, pred)
+    assert float(losses["pos"]) == 0.0  # nothing matched
+
+
+def test_transfusion_forward_and_train_step():
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(scene_with_objects(rng))[None]
+    valid = jnp.ones(points.shape[:2], bool)
+    target = make_boxes(
+        pos=[[5.0, 2.0, -1.0], [-8.0, -3.0, -1.0]],
+        dims=[[4.0, 2.0, 1.5]] * 2,
+        rot=[[0.0], [0.0]],
+    )
+    trainer = DetectorTrainer(
+        BEV, network="transfusion", box_cfg=TF_CFG, max_lr=1e-3,
+        total_steps=50,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), points, valid)
+    losses = []
+    for _ in range(12):
+        state, m = trainer.train_step(state, points, valid, target)
+        losses.append(float(m["loss/total"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0]
+    # predictions have the query capacity (200) and finite attrs
+    pred = trainer.predict_step(state, points, valid)
+    assert pred.pos.shape[1] <= 200
+    assert np.isfinite(np.asarray(pred.pos)).all()

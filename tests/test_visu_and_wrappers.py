@@ -1,0 +1,71 @@
+"""Visualisation + nuScenes-protocol wrapper tests."""
+import numpy as np
+
+from liso_tpu.eval.nuscenes_wrapper import NuscenesObjectDetectionMetrics
+from liso_tpu.visu.bbox_image import (
+    draw_boxes_bev,
+    pcl_occupancy_image,
+    render_frame,
+    save_tracking_gif,
+)
+from liso_tpu.visu.flow_image import flow_to_rgb
+from tests.test_eval_metrics import mk
+
+
+def test_flow_to_rgb():
+    flow = np.zeros((16, 16, 2), np.float32)
+    flow[:8, :, 0] = 1.0
+    rgb = flow_to_rgb(flow)
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+    # moving and still halves get different colors
+    assert not np.array_equal(rgb[0, 0], rgb[15, 0])
+
+
+def test_occupancy_and_boxes():
+    pts = np.array([[0.0, 0.0], [5.0, 5.0], [100.0, 100.0]])
+    img = pcl_occupancy_image(pts, (40.0, 40.0), (64, 64))
+    assert img.sum() == 2  # out-of-range dropped
+    rgb = np.zeros((64, 64, 3), np.float32)
+    boxes = {
+        "pos": np.array([[0.0, 0.0, 0.0]]),
+        "dims": np.array([[8.0, 4.0, 2.0]]),
+        "rot": np.array([[0.3]]),
+    }
+    draw_boxes_bev(rgb, boxes, (40.0, 40.0))
+    assert rgb[..., 1].sum() > 10  # green wireframe drawn
+
+
+def test_tracking_gif(tmp_path):
+    frames = [
+        render_frame(
+            np.random.RandomState(i).uniform(-15, 15, (200, 2)),
+            {
+                "pos": np.array([[float(i), 0.0, 0.0]]),
+                "dims": np.array([[4.0, 2.0, 1.5]]),
+                "rot": np.array([[0.0]]),
+            },
+            (40.0, 40.0),
+            grid_hw=(64, 64),
+        )
+        for i in range(4)
+    ]
+    p = save_tracking_gif(frames, tmp_path / "track.gif")
+    assert p.exists() and p.stat().st_size > 500
+
+
+def test_nuscenes_wrapper_perfect_prediction():
+    m = NuscenesObjectDetectionMetrics()
+    gt = mk([[0, 0, 0], [10, 5, 0]])
+    m.update(gt, gt)
+    out = m.compute()
+    assert out["nusc/mAP"] > 0.95
+    assert out["nusc/mATE"] < 1e-6
+    assert out["nusc/NDS"] > 0.95
+
+
+def test_nuscenes_wrapper_no_detections():
+    m = NuscenesObjectDetectionMetrics()
+    m.update(mk([[0, 0, 0]]), mk(np.zeros((0, 3))))
+    out = m.compute()
+    assert out["nusc/mAP"] == 0.0
+    assert out["nusc/NDS"] < 0.45

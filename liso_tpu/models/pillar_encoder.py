@@ -80,34 +80,63 @@ class PillarEncoder(nn.Module):
     @nn.compact
     def __call__(self, points: jnp.ndarray, valid: jnp.ndarray, train: bool = False):
         bev = self.setup_bev
+        h, w = bev.grid_size
+        nc = bev.num_cells
 
         def per_sample_ids(pts, msk):
             return pillarize(pts, msk, bev, z_cutoff=self.z_cutoff)
 
         cell_id, in_pillar = jax.vmap(per_sample_ids)(points, valid)
 
-        feats = jax.vmap(lambda p, c, m: pillar_point_features(p, c, m, bev))(
-            points, cell_id, in_pillar
+        # sort points by cell once so every segment reduction can use
+        # indices_are_sorted=True (one sort instead of one per scatter —
+        # the per-point dense layer is order-invariant so we stay sorted)
+        order = jnp.argsort(cell_id, axis=-1)
+        cell_s = jnp.take_along_axis(cell_id, order, axis=-1)
+        pts_s = jnp.take_along_axis(
+            points, order[..., None], axis=-2
         )
+        in_pillar_s = jnp.take_along_axis(in_pillar, order, axis=-1)
+
+        def per_sample_stats(pts_i, cid_i, inp_i):
+            xyz = pts_i[..., :3]
+            s = jax.ops.segment_sum(
+                xyz, cid_i, num_segments=nc + 1, indices_are_sorted=True
+            )
+            cnt = jax.ops.segment_sum(
+                inp_i.astype(jnp.float32), cid_i, num_segments=nc + 1,
+                indices_are_sorted=True,
+            )
+            mean = s / jnp.maximum(cnt[:, None], 1e-8)
+            return mean, cnt
+
+        mean_grid, cnt_grid = jax.vmap(per_sample_stats)(
+            pts_s, cell_s, in_pillar_s
+        )
+        cluster_off = pts_s[..., :3] - jax.vmap(scatter.gather_grid)(
+            mean_grid[:, :nc], cell_s
+        )
+        res = jnp.asarray(bev.res_m, points.dtype)
+        emin = jnp.asarray(bev.extent_min, points.dtype)
+        rc = jnp.stack([cell_s // w, cell_s % w], axis=-1).astype(points.dtype)
+        center_off = pts_s[..., :2] - ((rc + 0.5) * res + emin)
+        feats = jnp.concatenate([pts_s, cluster_off, center_off], axis=-1)
+        feats = jnp.where(in_pillar_s[..., None], feats, 0.0)
+
         x = nn.Dense(self.num_channels, use_bias=False, name="pfn_linear")(feats)
-        x = MaskedBatchNorm(name="pfn_bn")(x, in_pillar, train)
+        x = MaskedBatchNorm(name="pfn_bn")(x, in_pillar_s, train)
         x = nn.relu(x)
-        # padded / out-of-range points must not win the pillar max
-        x = jnp.where(in_pillar[..., None], x, -jnp.inf)
+        x = jnp.where(in_pillar_s[..., None], x, -jnp.inf)
 
-        h, w = bev.grid_size
-
-        def per_sample_scatter(xi, ci):
-            g = scatter.scatter_max_grid(xi, ci, bev.num_cells, fill=0.0)
+        def per_sample_max(xi, ci):
+            g = jax.ops.segment_max(
+                xi, ci, num_segments=nc + 1, indices_are_sorted=True
+            )[:nc]
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
             return g.reshape(h, w, self.num_channels)
 
-        img = jax.vmap(per_sample_scatter)(x, cell_id)
-
-        def per_sample_occ(ci, mi):
-            occ = scatter.scatter_add_grid(mi.astype(jnp.float32), ci, bev.num_cells)
-            return (occ > 0).astype(jnp.float32).reshape(h, w, 1)
-
-        occ = jax.vmap(per_sample_occ)(cell_id, in_pillar)
+        img = jax.vmap(per_sample_max)(x, cell_s)
+        occ = (cnt_grid[:, :nc] > 0).astype(jnp.float32).reshape(-1, h, w, 1)
         return img, occ
 
 

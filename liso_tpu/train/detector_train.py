@@ -45,6 +45,7 @@ class DetectorTrainer:
         total_steps: int = 150_000,
         weight_decay: float = 0.01,
         nms_iou_threshold: float = 0.1,
+        pre_max_boxes: int = 1000,
         post_max_boxes: int = 100,
         confidence_threshold: float = 0.3,
         use_baseline_parameters: bool = True,
@@ -59,6 +60,7 @@ class DetectorTrainer:
         )
         self.network = network
         self.nms_iou_threshold = nms_iou_threshold
+        self.pre_max_boxes = pre_max_boxes
         self.post_max_boxes = post_max_boxes
         self.confidence_threshold = confidence_threshold
         # AdamW + OneCycle sized to the round length (liso_cli.py:792-823)
@@ -176,6 +178,16 @@ class DetectorTrainer:
             probs=probs,
             valid=flat.valid & (probs[..., 0] >= self.confidence_threshold),
         )
+        # pre-NMS cap (max_num_boxes_before_nms=1000, liso_config.yml:27):
+        # bounds the [K, K] IoU matrix regardless of the anchor-grid size
+        k_pre = min(self.pre_max_boxes, flat.k)
+
+        def cap(bx):
+            score = jnp.where(bx.valid, bx.probs[:, 0], -jnp.inf)
+            _, top = jax.lax.top_k(score, k_pre)
+            return jax.tree.map(lambda x: x[top], bx)
+
+        flat = jax.vmap(cap)(flat)
         return batched_nms(
             flat,
             iou_threshold=self.nms_iou_threshold,

@@ -41,7 +41,6 @@ def main():
     slim_vars = slim.init(key, pts0, valid, pts1, valid)
     det_vars = det.init(key, pts0, valid)
 
-    @jax.jit
     def fused(pts0, valid0, pts1, valid1):
         # inference path: forward direction only, final-iteration upsample
         out_fw, _, _, _ = slim.apply(
@@ -51,20 +50,23 @@ def main():
         boxes, _, _, _ = det.apply(det_vars, pts0, valid0)
         return out_fw[-1][..., 4:6], boxes.pos, boxes.probs
 
-    # warmup / compile
-    r = fused(pts0, valid, pts1, valid)
-    jax.block_until_ready(r)
+    # all iterations inside ONE jit with a serialising data dependency:
+    # per-dispatch timing through the TPU tunnel is unreliable in both
+    # directions (async queueing hides work; each dispatch adds RPC
+    # latency), so measure n chained steps in a single executable
+    iters = 20 if on_tpu else 2
 
-    # chain iterations through a data dependency: independent dispatches
-    # through the TPU tunnel report bogus sub-ms times, only a serialised
-    # chain measures true step latency
-    iters = 20 if on_tpu else 3
+    @jax.jit
+    def run(pts0, valid0, pts1, valid1):
+        def body(_, x):
+            flow, pos, probs = fused(x, valid0, pts1, valid1)
+            return pts0 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
+
+        return jax.lax.fori_loop(0, iters, body, pts0)
+
+    jax.block_until_ready(run(pts0, valid, pts1, valid))  # compile
     t0 = time.perf_counter()
-    x = pts0
-    for _ in range(iters):
-        r = fused(x, valid, pts1, valid)
-        x = pts0 + 0.0 * r[0].sum()
-    jax.block_until_ready(x)
+    jax.block_until_ready(run(pts0, valid, pts1, valid))
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -281,9 +281,18 @@ class LidarDataset:
         return boxes
 
     # -- main -----------------------------------------------------------
+    def get_pair(self, idx: int, a: str, b: str) -> HostSample:
+        """Build the sample for a specific time-key pair (used by the SLIM
+        flow export, which writes all 6 ordered pairs of t0/t1/t2)."""
+        dt = self.cfg.time_delta_s * abs(int(b[1]) - int(a[1]))
+        return self._build(self.load_sample_dict(idx), idx, a, b, dt)
+
     def __getitem__(self, idx: int) -> HostSample:
         content = self.load_sample_dict(idx)
         a, b, dt = self.select_time_keys()
+        return self._build(content, idx, a, b, dt)
+
+    def _build(self, content: dict, idx: int, a: str, b: str, dt: float) -> HostSample:
         sample_id = str(content.get("name", Path(self.sample_files[idx]).stem))
 
         if self.augmentation is not None:

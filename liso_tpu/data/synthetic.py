@@ -169,7 +169,8 @@ class SyntheticDataset(LidarDataset):
         return self.seq.sample_dict(idx)
 
     def extract_gt_boxes(self, content: dict, time_key: str):
-        assert time_key == "t0"
+        if time_key != "t0":
+            return None  # boxes only annotated at t0 (reference convention)
         return {
             k: np.asarray(v, np.float32)
             for k, v in content["gt"]["boxes"].items()

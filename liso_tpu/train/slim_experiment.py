@@ -204,24 +204,30 @@ class SlimExperiment:
             if skip_existing and target.exists():
                 continue
             arrays = {"bev_range_m": np.asarray(self.bev.bev_range_m)}
-            pairs = (("t0", "t1"),)
+            # all 6 ordered pairs over (t0, t1, t2), like
+            # experiment.py:386-456 (fw+bw per unordered pair)
+            pairs = (("t0", "t1"), ("t0", "t2"), ("t1", "t2"))
             for a, b in pairs:
+                try:
+                    sp = dataset.get_pair(idx, a, b)
+                except KeyError:
+                    continue  # sample lacks this time key
                 fs = FlowSample(
                     pcl_t0=PointCloud(
-                        jnp.asarray(s.frame_t0.pcl)[None],
-                        jnp.asarray(s.frame_t0.valid)[None],
+                        jnp.asarray(sp.frame_t0.pcl)[None],
+                        jnp.asarray(sp.frame_t0.valid)[None],
                     ),
                     pcl_t1=PointCloud(
-                        jnp.asarray(s.frame_t1.pcl)[None],
-                        jnp.asarray(s.frame_t1.valid)[None],
+                        jnp.asarray(sp.frame_t1.pcl)[None],
+                        jnp.asarray(sp.frame_t1.valid)[None],
                     ),
-                    odom_t0_t1=jnp.asarray(s.odom_t0_t1)[None],
-                    odom_t1_t0=jnp.asarray(s.odom_t1_t0)[None],
+                    odom_t0_t1=jnp.asarray(sp.odom_t0_t1)[None],
+                    odom_t1_t0=jnp.asarray(sp.odom_t1_t0)[None],
                 )
                 pred_fw, pred_bw = self.trainer.predict_step(self.state, fs)
                 for name, pred, pcl, valid in (
-                    (f"{a}_{b}", pred_fw, s.frame_t0.pcl, s.frame_t0.valid),
-                    (f"{b}_{a}", pred_bw, s.frame_t1.pcl, s.frame_t1.valid),
+                    (f"{a}_{b}", pred_fw, sp.frame_t0.pcl, sp.frame_t0.valid),
+                    (f"{b}_{a}", pred_bw, sp.frame_t1.pcl, sp.frame_t1.valid),
                 ):
                     cell, _, _ = point_cell_ids(
                         jnp.asarray(pcl[:, :2]), self.bev, jnp.asarray(valid)

@@ -19,10 +19,15 @@ import orbax.checkpoint as ocp
 def save_checkpoint(ckpt_dir, step: int, state: Any):
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    target = ckpt_dir / str(step)
+    if target.exists():  # orbax refuses overwrites; same-step resave wins
+        import shutil
+
+        shutil.rmtree(target)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(ckpt_dir / str(step), state)
+    ckptr.save(target, state)
     ckptr.wait_until_finished()
-    return ckpt_dir / str(step)
+    return target
 
 
 def latest_step(ckpt_dir) -> Optional[int]:

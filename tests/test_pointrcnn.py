@@ -1,0 +1,69 @@
+"""PointRCNN two-stage detector tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from liso_tpu.models.pointrcnn import PointRCNNCfg, PointRCNNNet, pointrcnn_loss
+from liso_tpu.ops.bev import BevSetup
+from tests.test_detector import make_boxes, scene_with_objects
+
+BEV = BevSetup((40.0, 40.0), (64, 64))
+
+
+def test_pointrcnn_forward_shapes():
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(scene_with_objects(rng, n=2048))[None]
+    valid = jnp.ones(points.shape[:2], bool)
+    net = PointRCNNNet(BEV, cfg=PointRCNNCfg(num_proposals=32, roi_points=32))
+    vars_ = net.init(jax.random.PRNGKey(0), points, valid)
+    out = net.apply(vars_, points, valid)
+    assert out["fg_logit"].shape == (1, 2048)
+    assert out["proposals"].pos.shape == (1, 32, 3)
+    assert out["refined"].pos.shape == (1, 32, 3)
+    assert np.isfinite(np.asarray(out["refined"].pos)).all()
+
+
+def test_pointrcnn_trains():
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(scene_with_objects(rng, n=2048))[None]
+    valid = jnp.ones(points.shape[:2], bool)
+    target = make_boxes(
+        pos=[[5.0, 2.0, -1.0], [-8.0, -3.0, -1.0]],
+        dims=[[4.0, 2.0, 1.5]] * 2,
+        rot=[[0.0], [0.0]],
+    ).with_defaults()
+    net = PointRCNNNet(BEV, cfg=PointRCNNCfg(num_proposals=32, roi_points=32))
+    variables = net.init(jax.random.PRNGKey(0), points, valid)
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt):
+        def loss_fn(p):
+            out, mut = net.apply(
+                {"params": p, "batch_stats": bs}, points, valid,
+                train=True, mutable=["batch_stats"],
+            )
+            total, losses = pointrcnn_loss(out, points, valid, target)
+            return total, (mut["batch_stats"], losses)
+
+        (l, (bs2, losses)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        up, opt2 = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), bs2, opt2, l
+
+    losses = []
+    for _ in range(15):
+        params, bs, opt, l = step(params, bs, opt)
+        losses.append(float(l))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+
+    # foreground logits go up on object points (last 512 points are objects)
+    out = net.apply({"params": params, "batch_stats": bs}, points, valid)
+    fg = np.asarray(jax.nn.sigmoid(out["fg_logit"][0]))
+    assert fg[-512:].mean() > fg[:-512].mean()

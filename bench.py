@@ -29,8 +29,12 @@ def main():
         grid, n_pts, batch = 128, 4096, 1
 
     bev = BevSetup(bev_range_m=(100.0, 100.0), grid_size=(grid, grid))
-    slim = SlimModel(bev=bev, num_iters=6)
-    det = BoxLearner(bev, network="centerpoint", use_baseline_parameters=True)
+    dtype = jnp.bfloat16 if on_tpu else None  # mixed precision on chip
+    slim = SlimModel(bev=bev, num_iters=6, compute_dtype=dtype)
+    det = BoxLearner(
+        bev, network="centerpoint", use_baseline_parameters=True,
+        compute_dtype=dtype,
+    )
 
     rng = np.random.RandomState(0)
     pts0 = jnp.asarray(rng.uniform(-45, 45, (batch, n_pts, 4)).astype(np.float32))

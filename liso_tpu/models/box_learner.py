@@ -28,6 +28,7 @@ class BoxLearner(nn.Module):
     network: str = "centerpoint"
     hid_dim: int = 64
     use_baseline_parameters: bool = True
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(
@@ -47,6 +48,7 @@ class BoxLearner(nn.Module):
                 head_channels=self.box_cfg.head_channels(),
                 hid_dim=self.hid_dim,
                 use_baseline_parameters=self.use_baseline_parameters,
+                dtype=self.compute_dtype,
                 name="model",
             )
         elif self.network == "transfusion":

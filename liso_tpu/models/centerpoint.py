@@ -24,6 +24,7 @@ class ConvBNRelu(nn.Module):
     stride: int = 1
     kernel: int = 3
     transpose: bool = False
+    dtype: object = None  # bf16 compute when set (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -33,6 +34,7 @@ class ConvBNRelu(nn.Module):
                 (self.stride, self.stride),
                 strides=(self.stride, self.stride),
                 use_bias=False,
+                dtype=self.dtype,
                 name="conv",
             )(x)
         else:
@@ -41,6 +43,7 @@ class ConvBNRelu(nn.Module):
                 (self.kernel, self.kernel),
                 strides=self.stride,
                 use_bias=False,
+                dtype=self.dtype,
                 name="conv",
             )(x)
         x = nn.BatchNorm(
@@ -53,12 +56,15 @@ class RPNStage(nn.Module):
     filters: int
     num_blocks: int
     stride: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBNRelu(self.filters, self.stride, name="down")(x, train)
+        x = ConvBNRelu(self.filters, self.stride, dtype=self.dtype,
+                       name="down")(x, train)
         for i in range(self.num_blocks):
-            x = ConvBNRelu(self.filters, 1, name=f"block{i}")(x, train)
+            x = ConvBNRelu(self.filters, 1, dtype=self.dtype,
+                           name=f"block{i}")(x, train)
         return x
 
 
@@ -70,6 +76,7 @@ class RPN(nn.Module):
     ds_filters: Sequence[int] = (64, 128, 256)
     us_strides: Sequence[float] = (0.5, 1, 2)
     us_filters: Sequence[int] = (128, 128, 128)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -78,19 +85,20 @@ class RPN(nn.Module):
         for i, (n, s, f) in enumerate(
             zip(self.layer_nums, self.ds_strides, self.ds_filters)
         ):
-            x = RPNStage(f, n, s, name=f"stage{i}")(x, train)
+            x = RPNStage(f, n, s, dtype=self.dtype, name=f"stage{i}")(x, train)
             j = i - up_start
             if j >= 0:
                 us = self.us_strides[j]
                 uf = self.us_filters[j]
                 if us > 1:
                     y = ConvBNRelu(
-                        uf, int(us), transpose=True, name=f"up{j}"
+                        uf, int(us), transpose=True, dtype=self.dtype,
+                        name=f"up{j}",
                     )(x, train)
                 else:
                     inv = int(round(1 / us))
                     y = ConvBNRelu(
-                        uf, inv, kernel=inv, name=f"up{j}"
+                        uf, inv, kernel=inv, dtype=self.dtype, name=f"up{j}"
                     )(x, train)
                 ups.append(y)
         return jnp.concatenate(ups, axis=-1)
@@ -136,6 +144,7 @@ class CenterPointNet(nn.Module):
     hid_dim: int = 64
     use_baseline_parameters: bool = True
     share_conv_channel: int = 64
+    dtype: object = None
 
     @property
     def out_downsample_factor(self) -> int:
@@ -149,7 +158,7 @@ class CenterPointNet(nn.Module):
             self.bev, num_channels=self.hid_dim, name="pfn"
         )(points, valid, train=train)
         if self.use_baseline_parameters:
-            rpn = RPN(name="rpn")
+            rpn = RPN(dtype=self.dtype, name="rpn")
             head_stride = 1
         else:
             rpn = RPN(
@@ -158,12 +167,14 @@ class CenterPointNet(nn.Module):
                 ds_filters=(self.hid_dim, 128),
                 us_strides=(0.5, 1),
                 us_filters=(128, 128),
+                dtype=self.dtype,
                 name="rpn",
             )
             head_stride = 2
         x = rpn(img, train)
         x = ConvBNRelu(
-            self.share_conv_channel, head_stride, name="shared_conv"
+            self.share_conv_channel, head_stride, dtype=self.dtype,
+            name="shared_conv",
         )(x, train)
         maps = SepHead(self.head_channels, name="sep_head")(x, train)
         return maps, occ

@@ -53,15 +53,18 @@ class ResidualBlock(nn.Module):
     filters: int
     stride: int = 1
     norm_fn: str = "instance_affine"
+    dtype: object = None  # bf16 compute when set (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.filters, (3, 3), strides=self.stride, name="conv1")(x)
+        y = nn.Conv(self.filters, (3, 3), strides=self.stride,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(_norm(self.norm_fn, "norm1")(self.filters)(y))
-        y = nn.Conv(self.filters, (3, 3), name="conv2")(y)
+        y = nn.Conv(self.filters, (3, 3), dtype=self.dtype, name="conv2")(y)
         y = nn.relu(_norm(self.norm_fn, "norm2")(self.filters)(y))
         if self.stride != 1 or x.shape[-1] != self.filters:
-            x = nn.Conv(self.filters, (1, 1), strides=self.stride, name="down")(x)
+            x = nn.Conv(self.filters, (1, 1), strides=self.stride,
+                        dtype=self.dtype, name="down")(x)
             x = _norm(self.norm_fn, "norm3")(self.filters)(x)
         return nn.relu(x + y)
 
@@ -72,18 +75,20 @@ class SmallEncoder(nn.Module):
 
     output_dim: int = 128
     norm_fn: str = "instance_affine"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (7, 7), strides=2, name="conv1")(x)
+        x = nn.Conv(32, (7, 7), strides=2, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(_norm(self.norm_fn, "norm1")(32)(x))
-        x = ResidualBlock(32, 1, self.norm_fn, name="layer1a")(x)
-        x = ResidualBlock(32, 1, self.norm_fn, name="layer1b")(x)
-        x = ResidualBlock(64, 2, self.norm_fn, name="layer2a")(x)
-        x = ResidualBlock(64, 1, self.norm_fn, name="layer2b")(x)
-        x = ResidualBlock(96, 2, self.norm_fn, name="layer3a")(x)
-        x = ResidualBlock(96, 1, self.norm_fn, name="layer3b")(x)
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+        x = ResidualBlock(32, 1, self.norm_fn, self.dtype, name="layer1a")(x)
+        x = ResidualBlock(32, 1, self.norm_fn, self.dtype, name="layer1b")(x)
+        x = ResidualBlock(64, 2, self.norm_fn, self.dtype, name="layer2a")(x)
+        x = ResidualBlock(64, 1, self.norm_fn, self.dtype, name="layer2b")(x)
+        x = ResidualBlock(96, 2, self.norm_fn, self.dtype, name="layer3a")(x)
+        x = ResidualBlock(96, 1, self.norm_fn, self.dtype, name="layer3b")(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x)
+        return x.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -179,18 +184,23 @@ def lookup_corr_dispatch(pyramid, coords, radius: int = 3) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 class ConvGRU(nn.Module):
     hidden_dim: int = 96
+    dtype: object = None
 
     @nn.compact
     def __call__(self, h, x):
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), name="convz")(hx))
-        r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), name="convr")(hx))
+        z = jax.nn.sigmoid(
+            nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="convz")(hx)
+        )
+        r = jax.nn.sigmoid(
+            nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="convr")(hx)
+        )
         q = jnp.tanh(
-            nn.Conv(self.hidden_dim, (3, 3), name="convq")(
+            nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="convq")(
                 jnp.concatenate([r * h, x], axis=-1)
             )
         )
-        return (1 - z) * h + z * q
+        return ((1 - z) * h + z * q).astype(jnp.float32)
 
 
 class FlowClsHead(nn.Module):
@@ -199,11 +209,16 @@ class FlowClsHead(nn.Module):
 
     hidden_dim: int = 128
     out_dims: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(self.hidden_dim, (3, 3), name="conv1")(x))
-        return nn.Conv(self.out_dims, (3, 3), name="conv2")(x)
+        x = nn.relu(
+            nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="conv1")(x)
+        )
+        return nn.Conv(
+            self.out_dims, (3, 3), dtype=self.dtype, name="conv2"
+        )(x).astype(jnp.float32)
 
 
 class SmallMotionEncoder(nn.Module):
@@ -211,18 +226,22 @@ class SmallMotionEncoder(nn.Module):
 
     predict_logits: bool = True
     flow_channels: int = 2  # 3 when static-aggregation weight is predicted
+    dtype: object = None
 
     @nn.compact
     def __call__(self, flow, corr, logits):
-        c = nn.relu(nn.Conv(96, (1, 1), name="conv_stat_corr1")(corr))
-        f = nn.relu(nn.Conv(64, (7, 7), name="conv_flow1")(flow))
-        f = nn.relu(nn.Conv(32, (3, 3), name="conv_flow2")(f))
+        dt = self.dtype
+        c = nn.relu(nn.Conv(96, (1, 1), dtype=dt, name="conv_stat_corr1")(corr))
+        f = nn.relu(nn.Conv(64, (7, 7), dtype=dt, name="conv_flow1")(flow))
+        f = nn.relu(nn.Conv(32, (3, 3), dtype=dt, name="conv_flow2")(f))
         cat = [c, f]
         if self.predict_logits:
-            lg = nn.relu(nn.Conv(64, (7, 7), name="conv_class1")(logits))
-            lg = nn.relu(nn.Conv(32, (3, 3), name="conv_class2")(lg))
+            lg = nn.relu(nn.Conv(64, (7, 7), dtype=dt, name="conv_class1")(logits))
+            lg = nn.relu(nn.Conv(32, (3, 3), dtype=dt, name="conv_class2")(lg))
             cat.append(lg)
-        out = nn.relu(nn.Conv(80, (3, 3), name="conv")(jnp.concatenate(cat, -1)))
+        out = nn.relu(
+            nn.Conv(80, (3, 3), dtype=dt, name="conv")(jnp.concatenate(cat, -1))
+        )
         if self.predict_logits:
             return jnp.concatenate([out, lg, f], axis=-1)
         return jnp.concatenate([out, f], axis=-1)
@@ -232,6 +251,7 @@ class SmallUpdateBlock(nn.Module):
     hidden_dim: int = 96
     predict_logits: bool = True
     predict_weight_for_static_aggregation: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, logits, weight_logits):
@@ -242,19 +262,22 @@ class SmallUpdateBlock(nn.Module):
         motion = SmallMotionEncoder(
             predict_logits=self.predict_logits,
             flow_channels=flow_in.shape[-1],
+            dtype=self.dtype,
             name="motion_encoder",
         )(flow_in, corr, logits)
         x = jnp.concatenate([inp, motion], axis=-1)
-        net = ConvGRU(self.hidden_dim, name="gru")(net, x)
+        net = ConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(net, x)
 
         n_flow_out = 3 if self.predict_weight_for_static_aggregation else 2
-        delta = FlowClsHead(128, n_flow_out, name="static_flow_head")(net)
+        delta = FlowClsHead(
+            128, n_flow_out, dtype=self.dtype, name="static_flow_head"
+        )(net)
         delta_flow = delta[..., :2]
         delta_weights = (
             delta[..., -1:] if self.predict_weight_for_static_aggregation else None
         )
         delta_logits = (
-            FlowClsHead(128, 4, name="classification_head")(net)
+            FlowClsHead(128, 4, dtype=self.dtype, name="classification_head")(net)
             if self.predict_logits
             else None
         )
@@ -303,19 +326,23 @@ class RAFT(nn.Module):
     fnet_norm: str = "instance_affine"
     predict_logits: bool = True
     predict_weight_for_static_aggregation: bool = False
+    dtype: object = None  # set jnp.bfloat16 for mixed-precision compute
 
     @nn.compact
     def __call__(
         self, img0: jnp.ndarray, img1: jnp.ndarray, upsample_all: bool = True
     ):
-        fnet = SmallEncoder(self.corr_feature_dim, self.fnet_norm, name="fnet")
+        fnet = SmallEncoder(
+            self.corr_feature_dim, self.fnet_norm, self.dtype, name="fnet"
+        )
         cnet = SmallEncoder(
-            self.hidden_dim + self.context_dim, "none", name="cnet"
+            self.hidden_dim + self.context_dim, "none", self.dtype, name="cnet"
         )
         update = SmallUpdateBlock(
             self.hidden_dim,
             self.predict_logits,
             self.predict_weight_for_static_aggregation,
+            dtype=self.dtype,
             name="update_block",
         )
 

@@ -111,6 +111,7 @@ class SlimModel(nn.Module):
     pillar_channels: int = 64
     fnet_norm: str = "instance_affine"
     predict_weight_for_static_aggregation: bool = False
+    compute_dtype: object = None  # jnp.bfloat16 for mixed precision
 
     @nn.compact
     def __call__(
@@ -139,6 +140,7 @@ class SlimModel(nn.Module):
             predict_weight_for_static_aggregation=(
                 self.predict_weight_for_static_aggregation is not False
             ),
+            dtype=self.compute_dtype,
             name="raft",
         )
         outputs_fw = raft(img0, img1, upsample_all=upsample_all)

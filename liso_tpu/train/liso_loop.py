@@ -123,13 +123,28 @@ class LisoSelfTraining:
             max_scale_delta=float(cfg.data.augmentation.boxes.max_scale_delta),
         )
 
-    def _make_trainer(self) -> DetectorTrainer:
+    def _make_trainer(self):
         opt = self.cfg.optimization
         steps = (
             int(opt.rounds.steps_per_round)
             if opt.rounds.active
             else int(opt.num_training_steps)
         )
+        if self.cfg.network.name == "pointpillars":
+            from liso_tpu.train.pointpillars_train import PointPillarsTrainer
+
+            return PointPillarsTrainer(
+                self.bev,
+                max_lr=float(opt.learning_rate),
+                total_steps=steps,
+                nms_iou_threshold=float(self.cfg.nms_iou_threshold),
+                post_max_boxes=int(
+                    self.cfg.data.tracking_cfg.max_num_boxes_after_nms
+                ),
+                confidence_threshold=float(
+                    opt.rounds.confidence_threshold_mined_boxes
+                ),
+            )
         return DetectorTrainer(
             self.bev,
             network=self.cfg.network.name,

@@ -45,14 +45,23 @@ def main():
     slim_vars = slim.init(key, pts0, valid, pts1, valid)
     det_vars = det.init(key, pts0, valid)
 
-    def fused(pts0, valid0, pts1, valid1):
-        # inference path: forward direction only, final-iteration upsample
-        out_fw, _, _, _ = slim.apply(
-            slim_vars, pts0, valid0, pts1, valid1,
-            backward=False, upsample_all=False,
+    from liso_tpu.models.slim import SlimModel as _SM
+
+    def encode(pts, vld):
+        return slim.apply(
+            slim_vars, pts, vld, method=_SM.encode_frame
         )
-        boxes, _, _, _ = det.apply(det_vars, pts0, valid0)
-        return out_fw[-1][..., 4:6], boxes.pos, boxes.probs
+
+    def fused_streaming(fmap_prev, cn_prev, pts, vld):
+        """One streaming step: encode the NEW frame once, flow from the
+        cached previous-frame features, detect on the new frame."""
+        fmap, cn, _ = encode(pts, vld)
+        out = slim.apply(
+            slim_vars, fmap_prev, cn_prev, fmap,
+            method=_SM.flow_from_features,
+        )
+        boxes, _, _, _ = det.apply(det_vars, pts, vld)
+        return fmap, cn, out[-1][..., 4:6], boxes.pos, boxes.probs
 
     # all iterations inside ONE jit with a serialising data dependency:
     # per-dispatch timing through the TPU tunnel is unreliable in both
@@ -62,11 +71,18 @@ def main():
 
     @jax.jit
     def run(pts0, valid0, pts1, valid1):
-        def body(_, x):
-            flow, pos, probs = fused(x, valid0, pts1, valid1)
-            return pts0 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
+        fmap0, cn0, _ = encode(pts0, valid0)
 
-        return jax.lax.fori_loop(0, iters, body, pts0)
+        def body(_, carry):
+            fmap_prev, cn_prev, x = carry
+            fmap, cn, flow, pos, probs = fused_streaming(
+                fmap_prev, cn_prev, x, valid1
+            )
+            x_next = pts1 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
+            return fmap, cn, x_next
+
+        _, _, x = jax.lax.fori_loop(0, iters, body, (fmap0, cn0, pts1))
+        return x
 
     jax.block_until_ready(run(pts0, valid, pts1, valid))  # compile
     t0 = time.perf_counter()

@@ -328,29 +328,44 @@ class RAFT(nn.Module):
     predict_weight_for_static_aggregation: bool = False
     dtype: object = None  # set jnp.bfloat16 for mixed-precision compute
 
-    @nn.compact
-    def __call__(
-        self, img0: jnp.ndarray, img1: jnp.ndarray, upsample_all: bool = True
-    ):
-        fnet = SmallEncoder(
-            self.corr_feature_dim, self.fnet_norm, self.dtype, name="fnet"
+    def setup(self):
+        self.fnet = SmallEncoder(
+            self.corr_feature_dim, self.fnet_norm, self.dtype
         )
-        cnet = SmallEncoder(
-            self.hidden_dim + self.context_dim, "none", self.dtype, name="cnet"
+        self.cnet = SmallEncoder(
+            self.hidden_dim + self.context_dim, "none", self.dtype
         )
-        update = SmallUpdateBlock(
+        self.update_block = SmallUpdateBlock(
             self.hidden_dim,
             self.predict_logits,
             self.predict_weight_for_static_aggregation,
             dtype=self.dtype,
-            name="update_block",
         )
 
-        fmap0 = fnet(img0)
-        fmap1 = fnet(img1)
+    def encode(self, img: jnp.ndarray):
+        """Per-frame features (streaming deployments cache these so each
+        new frame is encoded exactly once)."""
+        return self.fnet(img), self.cnet(img)
+
+    def __call__(
+        self, img0: jnp.ndarray, img1: jnp.ndarray, upsample_all: bool = True
+    ):
+        fmap0, cn0 = self.encode(img0)
+        fmap1 = self.fnet(img1)
+        return self.flow_from_features(
+            fmap0, cn0, fmap1, upsample_all=upsample_all
+        )
+
+    def flow_from_features(
+        self,
+        fmap0: jnp.ndarray,
+        cn: jnp.ndarray,  # cnet features of frame 0
+        fmap1: jnp.ndarray,
+        upsample_all: bool = True,
+    ):
+        update = self.update_block
         pyramid = build_corr_pyramid(fmap0, fmap1, self.corr_levels)
 
-        cn = cnet(img0)
         net = jnp.tanh(cn[..., : self.hidden_dim])
         inp = nn.relu(cn[..., self.hidden_dim :])
 

@@ -113,7 +113,36 @@ class SlimModel(nn.Module):
     predict_weight_for_static_aggregation: bool = False
     compute_dtype: object = None  # jnp.bfloat16 for mixed precision
 
-    @nn.compact
+    def setup(self):
+        self.pillar_encoder = PillarEncoder(
+            self.bev, num_channels=self.pillar_channels
+        )
+        self.raft = RAFT(
+            num_iters=self.num_iters,
+            corr_levels=self.corr_levels,
+            corr_radius=self.corr_radius,
+            resolution_m=self.bev.res_m[0],
+            fnet_norm=self.fnet_norm,
+            predict_weight_for_static_aggregation=(
+                self.predict_weight_for_static_aggregation is not False
+            ),
+            dtype=self.compute_dtype,
+        )
+
+    def encode_frame(self, pcl, valid, train: bool = False):
+        """Streaming entry: encode ONE frame once; callers cache the
+        returned (fmap, cnet) across steps (apply with
+        method=SlimModel.encode_frame)."""
+        img, occ = self.pillar_encoder(pcl, valid, train=train)
+        fmap, cn = self.raft.encode(img)
+        return fmap, cn, occ[..., 0]
+
+    def flow_from_features(self, fmap0, cn0, fmap1, upsample_all=False):
+        """Streaming entry: flow frame0 -> frame1 from cached features."""
+        return self.raft.flow_from_features(
+            fmap0, cn0, fmap1, upsample_all=upsample_all
+        )
+
     def __call__(
         self,
         pcl_t0: jnp.ndarray,
@@ -124,27 +153,12 @@ class SlimModel(nn.Module):
         backward: bool = True,
         upsample_all: bool = True,
     ):
-        enc = PillarEncoder(
-            self.bev, num_channels=self.pillar_channels, name="pillar_encoder"
-        )
-        img0, occ0 = enc(pcl_t0, valid_t0, train=train)
-        img1, occ1 = enc(pcl_t1, valid_t1, train=train)
-
-        res_x = self.bev.res_m[0]
-        raft = RAFT(
-            num_iters=self.num_iters,
-            corr_levels=self.corr_levels,
-            corr_radius=self.corr_radius,
-            resolution_m=res_x,
-            fnet_norm=self.fnet_norm,
-            predict_weight_for_static_aggregation=(
-                self.predict_weight_for_static_aggregation is not False
-            ),
-            dtype=self.compute_dtype,
-            name="raft",
-        )
-        outputs_fw = raft(img0, img1, upsample_all=upsample_all)
+        img0, occ0 = self.pillar_encoder(pcl_t0, valid_t0, train=train)
+        img1, occ1 = self.pillar_encoder(pcl_t1, valid_t1, train=train)
+        outputs_fw = self.raft(img0, img1, upsample_all=upsample_all)
         outputs_bw = (
-            raft(img1, img0, upsample_all=upsample_all) if backward else None
+            self.raft(img1, img0, upsample_all=upsample_all)
+            if backward
+            else None
         )
         return outputs_fw, outputs_bw, occ0[..., 0], occ1[..., 0]

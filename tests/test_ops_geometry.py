@@ -193,3 +193,30 @@ class TestKabsch:
         np.testing.assert_allclose(
             T, np.tile(np.eye(4), (2, 4, 1, 1)), atol=1e-3
         )
+
+
+def test_soft_box_membership():
+    from liso_tpu.ops.soft_masks import soft_box_membership
+    from liso_tpu.ops.boxes import Boxes
+    import jax.numpy as jnp
+    import numpy as np
+
+    b = Boxes.empty(2)
+    b = b.replace(
+        pos=b.pos.at[0].set(jnp.asarray([5.0, 0.0, 0.0])),
+        dims=b.dims.at[0].set(jnp.asarray([4.0, 2.0, 2.0])),
+        valid=b.valid.at[0].set(True),
+    )
+    pts = jnp.asarray(
+        [[5.0, 0.0, 0.0],   # box center -> weight ~1
+         [5.0, 0.9, 0.0],   # near width edge -> intermediate
+         [20.0, 0.0, 0.0]]  # far outside -> ~0
+    )
+    for fun in ("cauchy", "sigmoid"):
+        w = np.asarray(soft_box_membership(b, pts, softness_fun=fun))
+        assert w.shape == (3, 2)
+        assert w[0, 0] > 0.85
+        assert 0.05 < w[1, 0] < 0.9
+        assert w[2, 0] < 0.01
+        # invalid slot contributes nothing
+        assert (w[:, 1] == 0).all()

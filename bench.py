@@ -24,7 +24,7 @@ def main():
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
-        grid, n_pts, batch = 512, 32768, 4
+        grid, n_pts, batch = 512, 32768, 8
     else:  # CPU smoke fallback so the bench always produces a number
         grid, n_pts, batch = 128, 4096, 1
 

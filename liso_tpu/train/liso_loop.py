@@ -360,7 +360,33 @@ class LisoSelfTraining:
 
             if val_every and step > 0 and step % val_every == 0:
                 self.validate(step, fast_test)
+            save_every = int(self.cfg.checkpoint.save_model_every)
+            if save_every and step > 0 and step % save_every == 0:
+                self.save(step)
+        if self.state is not None:
+            self.save(total_steps)
         return metrics_hist
+
+    def save(self, step: int):
+        """Detector checkpoint {network, optimizer, step} like the
+        reference's <step>.pth (liso_cli.py:726-739); optax schedules need
+        no replay — they are pure functions of the restored step."""
+        from liso_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(self.log_dir / "ckpts", step, self.state)
+
+    def restore(self, ckpt_dir, example_pts, example_valid):
+        """liso_cli.py:742-789 resume: restore the latest checkpoint into a
+        freshly-initialised state template."""
+        from liso_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        step = latest_step(ckpt_dir)
+        assert step is not None, f"no checkpoints under {ckpt_dir}"
+        template = self.trainer.init_state(
+            jax.random.PRNGKey(0), example_pts, example_valid
+        )
+        self.state = restore_checkpoint(ckpt_dir, step, template)
+        return step
 
     def validate(self, step: int, fast_test: bool = False):
         if self.val_dataset is None:

@@ -27,6 +27,11 @@ class MovAvgState(NamedTuple):
     bias_counter: jnp.ndarray  # scalar float64-ish (float32 ok)
     update_weight: jnp.ndarray  # scalar constant
     start_value: jnp.ndarray  # scalar
+    # supervised mode (num_still set): running class counters that weight
+    # improvements by 1/count (movavg_cls_threshold.py:40-48, 79-90);
+    # both 0 in the unsupervised mode
+    moving_counter: jnp.ndarray = jnp.zeros((), jnp.float32)
+    still_counter: jnp.ndarray = jnp.zeros((), jnp.float32)
 
 
 def movavg_init(
@@ -46,6 +51,8 @@ def movavg_init(
         bias_counter=jnp.zeros((), jnp.float32),
         update_weight=jnp.asarray(update_weight, jnp.float32),
         start_value=jnp.asarray(start_value, jnp.float32),
+        moving_counter=jnp.asarray(float(num_moving if num_still else 0)),
+        still_counter=jnp.asarray(float(num_still or 0)),
     )
 
 
@@ -70,12 +77,26 @@ def movavg_update(
     epes_dyn: jnp.ndarray,  # [M]
     dynamicness: jnp.ndarray,  # [M]
     valid: jnp.ndarray,  # [M] bool
+    moving_mask: Optional[jnp.ndarray] = None,  # [M] supervised mode only
 ) -> MovAvgState:
-    """movavg_cls_threshold.py:113-157 (unsupervised path: improvements =
-    epe_static - epe_dynamic, scattered into dynamicness bins, EMA'd).
-    Invalid entries contribute zero and don't count toward the bias update."""
+    """movavg_cls_threshold.py:113-157 (improvements = epe_static -
+    epe_dynamic, scattered into dynamicness bins, EMA'd; supervised mode
+    weights by the running inverse class counts). Invalid entries contribute
+    zero and don't count toward the bias update."""
     res = state.importance.shape[0]
     improvements = jnp.where(valid, epes_stat - epes_dyn, 0.0)
+    if moving_mask is not None:  # supervised: 1/count class weighting
+        w = 1.0 / jnp.maximum(
+            jnp.where(moving_mask, state.moving_counter, state.still_counter),
+            1.0,
+        )
+        improvements = improvements * w
+        state = state._replace(
+            moving_counter=state.moving_counter
+            + (moving_mask & valid).sum(),
+            still_counter=state.still_counter
+            + (~moving_mask & valid).sum(),
+        )
     bins = jnp.clip((dynamicness * res).astype(jnp.int32), 0, res - 1)
     bins = jnp.where(valid, bins, res)  # drop bucket
     hist = jax.ops.segment_sum(improvements, bins, num_segments=res + 1)[:res]

@@ -116,6 +116,7 @@ class LisoSelfTraining:
         self.round_idx = 0
         self.mined_db: Optional[dict] = None
         self.augm_db: Optional[dict] = None
+        self._augm_db_final: Optional[dict] = None
         self.rng = np.random.RandomState(int(cfg.seed))
         self.box_augm_cfg = BoxAugmCfg(
             max_num_objs=int(cfg.data.augmentation.boxes.max_num_objs),
@@ -227,6 +228,7 @@ class LisoSelfTraining:
             augm, float(self.cfg.data.tracking_cfg.max_augm_db_size_mb)
         )
         self.mined_db, self.augm_db = mined, augm
+        self._augm_db_final = None  # invalidate the stacked cache
         out = self.log_dir / f"mined_round_{self.round_idx}"
         save_mined_boxes_db(mined, out / "tracked")
         save_augm_db(augm, out / "augm_db")
@@ -256,9 +258,11 @@ class LisoSelfTraining:
             and self.cfg.data.augmentation.boxes.active
             and len(self.augm_db["boxes"]) > 0
         ):
-            from liso_tpu.tracker.dbs import finalize_augm_db
+            if self._augm_db_final is None:  # stack once per mining round
+                from liso_tpu.tracker.dbs import finalize_augm_db
 
-            db = finalize_augm_db(self.augm_db)
+                self._augm_db_final = finalize_augm_db(self.augm_db)
+            db = self._augm_db_final
             b, n_max = valid.shape
             for i in range(b):
                 base = pcl[i][valid[i]]

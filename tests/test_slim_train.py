@@ -109,3 +109,24 @@ def test_predict_step():
     pred_fw, pred_bw = trainer.predict_step(state, batch)
     assert pred_fw.aggregated_flow.shape == batch.pcl_t0.pcl.shape[:2] + (3,)
     assert np.all(np.isfinite(np.asarray(pred_fw.aggregated_flow)))
+
+
+def test_movavg_supervised_mode():
+    """Supervised branch: class counters weight the improvements
+    (movavg_cls_threshold.py:79-90)."""
+    from liso_tpu.models.slim import movavg_init, movavg_update, movavg_value
+
+    mov = movavg_init(num_train_samples=10, num_moving=1000, num_still=1000)
+    assert float(mov.moving_counter) == 1000
+    n = 400
+    scores = jnp.asarray(np.linspace(0, 1, n, dtype=np.float32))
+    moving = scores > 0.4
+    epes_stat = jnp.where(moving, 1.5, 0.1)
+    epes_dyn = jnp.where(moving, 0.1, 0.6)
+    valid = jnp.ones((n,), bool)
+    for _ in range(50):
+        mov = movavg_update(mov, epes_stat, epes_dyn, scores, valid,
+                            moving_mask=moving)
+    assert float(mov.moving_counter) > 1000  # counters grew
+    thr = float(movavg_value(mov))
+    assert 0.3 < thr < 0.5, thr

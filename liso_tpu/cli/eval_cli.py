@@ -47,6 +47,33 @@ def main(argv=None):
         predict = mined_db_predictor(load_mined_boxes_db(extra.mined_db))
     elif extra.override_network == "echo_gt":
         predict = gt_echo_predictor
+    elif extra.override_network == "flow_cluster_detector":
+        from liso_tpu.models.flow_cluster_detector import (
+            FlowClusterCfg,
+            detect_boxes_from_flow,
+        )
+        from liso_tpu.ops.bev import point_cell_ids
+
+        fc_cfg = FlowClusterCfg()
+
+        def predict(batch):
+            b = len(batch["sample_id"])
+            outs = []
+            for i in range(b):
+                pcl = jnp.asarray(batch["pcl_t0"][i])
+                v = jnp.asarray(batch["valid_t0"][i])
+                cell, _, _ = point_cell_ids(pcl[:, :2], bev, v)
+                boxes = detect_boxes_from_flow(
+                    pcl, v, cell, jnp.asarray(batch["flow_t0_t1"][i]),
+                    jnp.asarray(batch["odom_t0_t1"][i]), pcl, v,
+                    jnp.asarray(batch["time_delta_s"][i]), bev, fc_cfg,
+                )
+                outs.append(boxes)
+            stacked = jax.tree.map(lambda *x: jnp.stack(x), *outs)
+            return {
+                k: np.asarray(getattr(stacked, k))
+                for k in ("pos", "dims", "rot", "probs", "velo", "valid")
+            }
     else:
         from liso_tpu.train.liso_loop import LisoSelfTraining
 

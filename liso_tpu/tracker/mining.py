@@ -59,6 +59,8 @@ class MiningCfg(NamedTuple):
     smoothing_iters: int = 2000
     snippet_bloat: float = 1.1
     drop_boxes_on_bev_border: bool = True
+    timeout_s: float = 0.0  # watchdog: stop ingesting frames after this
+    # (reference tracking.py:533-557 aborts sequence iteration gracefully)
 
 
 class Frame(NamedTuple):
@@ -101,10 +103,19 @@ def mine_sequence(
 ) -> Dict[str, object]:
     """Returns {"mined_db": ..., "raw_db": ..., "augm_db": ...,
     "num_tracks": int}."""
+    import time as _time
+
     tracker = FlowBasedBoxTracker(cfg.box_matching_threshold_m)
     raw_db: Dict[str, dict] = {}
+    t_start = _time.time()
 
     for frame in frames:
+        if cfg.timeout_s and _time.time() - t_start > cfg.timeout_s:
+            print(
+                f"mining watchdog: timeout after "
+                f"{len(tracker.boxes_sensor)} frames — finishing early"
+            )
+            break
         boxes = detect_fn(frame)  # fixed-capacity, includes NMS
         pcl = jnp.asarray(frame.pcl)
         valid = jnp.asarray(frame.valid)
@@ -149,7 +160,7 @@ def mine_sequence(
     ids, ages = tracker.get_track_ids_and_ages()
     boxes_sensor = tracker.get_boxes_in_sensor_coordinates()
     w_Ts = tracker.w_Ts
-    n_t = len(frames)
+    n_t = len(boxes_sensor)  # may be < len(frames) after a watchdog timeout
 
     mined: Dict[str, dict] = {
         f.sample_id: {

@@ -204,6 +204,13 @@ class FlowBasedBoxTracker:
     # ------------------------------------------------------------------
     def run_tracker(self):
         n_t = len(self.boxes_sensor)
+        if n_t == 0:  # watchdog may abort before any frame
+            self.w_Ts = []
+            self.boxes_world = []
+            self.track_ids = []
+            self.track_ages = []
+            self.extra_out = []
+            return
         self.w_Ts = aggregate_world_poses(self.odoms)[:n_t]
         boxes_world = [
             transform_boxes(b, w) for b, w in zip(self.boxes_sensor, self.w_Ts)

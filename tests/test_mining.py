@@ -125,3 +125,13 @@ def test_mine_sequence_no_tracks_for_short_sequence():
     result = mine_sequence(frames, flow_cluster_detect, cfg, BEV)
     assert result["num_tracks"] == 0
     assert all(len(v["track_id"]) == 0 for v in result["mined_db"].values())
+
+
+def test_mining_timeout_watchdog():
+    """Watchdog aborts frame ingestion gracefully (tracking.py:533-557)."""
+    frames = make_sequence(n_frames=8)
+    cfg = MiningCfg(min_points_in_box=20, smoothing_iters=50,
+                    timeout_s=1e-9)  # fires immediately after frame 1
+    result = mine_sequence(frames, flow_cluster_detect, cfg, BEV)
+    # no crash; few/no tracks; all sample ids present in the mined db
+    assert set(result["mined_db"].keys()) == {f.sample_id for f in frames}

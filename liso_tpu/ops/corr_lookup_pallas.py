@@ -52,14 +52,24 @@ def _lookup_kernel(scal_ref, vol_ref, out_ref, *, win, unroll=8):
     jax.lax.fori_loop(0, tile // unroll, body, 0)
 
 
-@partial(jax.jit, static_argnames=("radius", "tile"))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def lookup_level_pallas(
     vol: jnp.ndarray,  # [B, HW, hk, wk] one pyramid level
     centers: jnp.ndarray,  # [B, HW, 2] float (row, col) at this level
     radius: int = 3,
     tile: int = 64,
 ) -> jnp.ndarray:
-    """-> [B, HW, (2r+1)^2] sampled windows (bilinear, edge-clipped)."""
+    """-> [B, HW, (2r+1)^2] sampled windows (bilinear, edge-clipped).
+
+    Differentiable wrt `vol` only (custom VJP: linear scatter-add of the
+    cotangent through the window positions). `centers` gets a zero
+    cotangent — correct for RAFT, which detaches flow before every lookup
+    (raft_mod.py:187-195 / models/raft.py stop_gradient)."""
+    return _lookup_level_fwd_impl(vol, centers, radius, tile)
+
+
+@partial(jax.jit, static_argnames=("radius", "tile"))
+def _lookup_level_fwd_impl(vol, centers, radius: int = 3, tile: int = 64):
     b, hw, hk, wk = vol.shape
     win = 2 * radius + 1
     pad = win + 1
@@ -128,3 +138,45 @@ def lookup_corr_pallas(pyramid, coords, radius: int = 3):
     return jnp.concatenate(outs, axis=-1).reshape(
         b, h, w, len(pyramid) * (2 * radius + 1) ** 2
     )
+
+
+def _lookup_level_fwd(vol, centers, radius, tile):
+    # shape/dtype token (residuals must be jax types)
+    token = jnp.zeros(vol.shape[2:], vol.dtype)
+    return _lookup_level_fwd_impl(vol, centers, radius, tile), (token, centers)
+
+
+def _lookup_level_bwd(radius, tile, res, cot):
+    """cot [B, HW, win^2] -> d vol: scatter-add the 4 bilinear-shifted
+    cotangent views into each pixel's own (hk, wk) map (exact adjoint of
+    the window blend; same edge-clipped indices as the jnp gather path)."""
+    token, centers = res
+    hk, wk = token.shape
+    dtype = token.dtype
+    b, hw = centers.shape[:2]
+    win = 2 * radius + 1
+    r = centers[..., 0]
+    c = centers[..., 1]
+    r0 = jnp.floor(r).astype(jnp.int32)
+    c0 = jnp.floor(c).astype(jnp.int32)
+    fr = (r - r0)[..., None, None]
+    fc = (c - c0)[..., None, None]
+    cotw = cot.reshape(b, hw, win, win).astype(dtype)
+    # adjoint of: out = sum of 4 shifted window views * weights
+    g = jnp.zeros((b, hw, win + 1, win + 1), dtype)
+    g = g.at[..., :win, :win].add(cotw * (1 - fr) * (1 - fc))
+    g = g.at[..., :win, 1:].add(cotw * (1 - fr) * fc)
+    g = g.at[..., 1:, :win].add(cotw * fr * (1 - fc))
+    g = g.at[..., 1:, 1:].add(cotw * fr * fc)
+    d = jnp.arange(-radius, radius + 2, dtype=jnp.int32)
+    rows = jnp.clip(r0[..., None] + d, 0, hk - 1)
+    cols = jnp.clip(c0[..., None] + d, 0, wk - 1)
+    flat = (rows[..., :, None] * wk + cols[..., None, :]).reshape(b, hw, -1)
+    dvol = jnp.zeros((b, hw, hk * wk), dtype)
+    dvol = jax.vmap(
+        lambda dv, ix, gv: dv.at[jnp.arange(hw)[:, None], ix].add(gv)
+    )(dvol, flat, g.reshape(b, hw, -1))
+    return dvol.reshape(b, hw, hk, wk), jnp.zeros_like(centers)
+
+
+lookup_level_pallas.defvjp(_lookup_level_fwd, _lookup_level_bwd)

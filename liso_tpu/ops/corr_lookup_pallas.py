@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _lookup_kernel(scal_ref, vol_ref, out_ref, *, win, unroll=8):
+def _lookup_kernel(scal_ref, vol_ref, out_ref, *, win, unroll=16):
     tile = vol_ref.shape[1]
 
     def body(j, _):
@@ -90,7 +90,7 @@ def _lookup_level_fwd_impl(vol, centers, radius: int = 3, tile: int = 64):
     )
     hp = hk + 2 * pad
 
-    tile = max(8, (min(tile, hw) // 8) * 8)  # unroll=8 needs tile % 8 == 0
+    tile = max(16, (min(tile, hw) // 16) * 16)  # tile % unroll == 0
     hw_pad = -(-hw // tile) * tile
     if hw_pad != hw:  # e.g. 115^2 pixels at the 920 grid
         volp = jnp.pad(volp, ((0, 0), (0, hw_pad - hw), (0, 0), (0, 0)))

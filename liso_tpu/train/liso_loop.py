@@ -198,8 +198,13 @@ class LisoSelfTraining:
         return detect
 
     # ------------------------------------------------------------------
-    def mine(self, dataset: LidarDataset) -> None:
-        """liso_cli.py:180-272 mining trigger."""
+    def mine(
+        self, dataset: LidarDataset, world_size: int = 1, worker_id: int = 0
+    ) -> None:
+        """liso_cli.py:180-272 mining trigger. Sequences are independent, so
+        multi-host mining shards them by `seq_idx % world_size == worker_id`
+        (the reference's embarrassingly-parallel job sharding, SURVEY §2.9);
+        per-worker DBs merge by dict union / list concat."""
         t0 = time.time()
         detect_fn = (
             self._bootstrap_detect_fn()
@@ -214,7 +219,12 @@ class LisoSelfTraining:
         mined: Dict[str, dict] = {}
         augm = None
         n_seqs = 0
-        for seq in self._sequences(dataset):
+        sequences = [
+            s
+            for i, s in enumerate(self._sequences(dataset))
+            if i % world_size == worker_id
+        ]
+        for seq in sequences:
             frames = frames_from_dataset(dataset, seq)
             result = mine_sequence(frames, detect_fn, mcfg, self.bev)
             mined.update(result["mined_db"])
@@ -243,9 +253,22 @@ class LisoSelfTraining:
 
     def _sequences(self, dataset: LidarDataset) -> List[List[int]]:
         try:
-            return [dataset.get_consecutive_sample_idxs_for_sequence(0)]
+            n = getattr(dataset, "num_sequences", 1)
+            return [
+                dataset.get_consecutive_sample_idxs_for_sequence(i)
+                for i in range(n)
+            ]
         except NotImplementedError:
             return [list(range(len(dataset)))]
+
+
+def merge_mined_dbs(dbs: List[Dict[str, dict]]) -> Dict[str, dict]:
+    """Merge per-worker mined DBs (host-side gather — sequences are
+    disjoint so keys never collide)."""
+    out: Dict[str, dict] = {}
+    for db in dbs:
+        out.update(db)
+    return out
 
     # ------------------------------------------------------------------
     def _prepare_batch(self, batch: dict):

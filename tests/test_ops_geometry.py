@@ -220,3 +220,58 @@ def test_soft_box_membership():
         assert w[2, 0] < 0.01
         # invalid slot contributes nothing
         assert (w[:, 1] == 0).all()
+
+
+def test_kabsch_fp32_matches_fp64_reference():
+    """SURVEY hard part #3: the reference runs Kabsch SVD in float64
+    (kabsch_mask.py:488-507); our fp32 formulation (pre-centering +
+    weight-normalised covariance + UV^T) must match an independent fp64
+    implementation on hard cases (tiny rotations, far-offset clouds,
+    extreme weight imbalance)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from liso_tpu.ops.kabsch import weighted_kabsch
+
+    def kabsch_fp64(x, y, w):
+        w = np.asarray(w, np.float64)
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        cw = w.sum()
+        mx = (x * w[:, None]).sum(0) / cw
+        my = (y * w[:, None]).sum(0) / cw
+        H = ((y - my) * w[:, None]).T @ (x - mx)
+        U, _, Vt = np.linalg.svd(H)
+        R = U @ Vt
+        if np.linalg.det(R) < 0:  # proper rotation for these test cases
+            R = U @ np.diag([1, 1, -1]) @ Vt
+        t = my - R @ mx
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return T
+
+    rng = np.random.RandomState(0)
+    cases = []
+    # tiny rotation, far offset (fp32 catastrophic-cancellation territory)
+    x = rng.randn(200, 3) * 2 + np.array([80.0, -60.0, 0.0])
+    theta = 1e-3
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    cases.append((x, x @ R.T + [0.01, -0.02, 0.0], np.ones(200)))
+    # extreme weight imbalance
+    w = np.ones(200) * 1e-6
+    w[:20] = 1.0
+    cases.append((x, x @ R.T + 0.5, w))
+
+    for x, y, w in cases:
+        T32, _ = weighted_kabsch(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.asarray(w, jnp.float32),
+        )
+        T64 = kabsch_fp64(x, y, w)
+        assert np.allclose(np.asarray(T32)[:3, :3], T64[:3, :3], atol=2e-4), (
+            np.abs(np.asarray(T32)[:3, :3] - T64[:3, :3]).max()
+        )
+        assert np.allclose(np.asarray(T32)[:3, 3], T64[:3, 3], atol=2e-2), (
+            np.abs(np.asarray(T32)[:3, 3] - T64[:3, 3]).max()
+        )

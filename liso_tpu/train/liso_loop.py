@@ -261,15 +261,6 @@ class LisoSelfTraining:
         except NotImplementedError:
             return [list(range(len(dataset)))]
 
-
-def merge_mined_dbs(dbs: List[Dict[str, dict]]) -> Dict[str, dict]:
-    """Merge per-worker mined DBs (host-side gather — sequences are
-    disjoint so keys never collide)."""
-    out: Dict[str, dict] = {}
-    for db in dbs:
-        out.update(db)
-    return out
-
     # ------------------------------------------------------------------
     def _prepare_batch(self, batch: dict):
         """Copy-paste augmentation + target assembly (host), then device."""
@@ -446,3 +437,12 @@ def merge_mined_dbs(dbs: List[Dict[str, dict]]) -> Dict[str, dict]:
             step,
         )
         return metrics
+
+
+def merge_mined_dbs(dbs: List[Dict[str, dict]]) -> Dict[str, dict]:
+    """Merge per-worker mined DBs (host-side gather — sequences are
+    disjoint so keys never collide)."""
+    out: Dict[str, dict] = {}
+    for db in dbs:
+        out.update(db)
+    return out

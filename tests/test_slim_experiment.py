@@ -1,0 +1,51 @@
+"""SlimExperiment train/eval/export/checkpoint integration (CPU, tiny)."""
+import numpy as np
+
+from liso_tpu.cli.common import apply_fast_test
+from liso_tpu.data.dataset import DataCfg
+from liso_tpu.data.synthetic import SyntheticDataset
+from liso_tpu.ops.bev import BevSetup
+from liso_tpu.train.slim_experiment import SlimExperiment
+from liso_tpu.utils.config import parse_config
+
+CFG_PATH = "liso_tpu/config/liso_config.yml"
+
+
+def test_slim_experiment_end_to_end(tmp_path):
+    cfg = apply_fast_test(
+        parse_config(
+            CFG_PATH,
+            key_value_updates=[["SLIM", "model", "num_iters", "2"]],
+        )
+    )
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    dcfg = DataCfg(bev=bev, n_max=4096, m_max=8192, use_skip_frames="never")
+    train_ds = SyntheticDataset(dcfg, n_frames=4)
+    val_ds = SyntheticDataset(dcfg, n_frames=2, seed=1)
+    exp = SlimExperiment(cfg, bev, train_ds, val_ds, tmp_path)
+    state = exp.run(max_steps=3)
+    assert state is not None and int(state.step) == 3
+    # checkpoint written at the end
+    assert (tmp_path / "ckpts" / "3").exists()
+    # flow eval produces finite metrics
+    metrics = exp.evaluate(3, max_batches=1)
+    assert np.isfinite(metrics["AEE_overall"])
+    # export writes the full 6-pair npz schema
+    n = exp.export_flow(train_ds, tmp_path / "preds", max_samples=1)
+    assert n == 1
+    d = np.load(tmp_path / "preds" / "synth0_0000.npz")
+    for pair in ("t0_t1", "t1_t0", "t0_t2", "t2_t0", "t1_t2", "t2_t1"):
+        assert f"bev_raw_flow_{pair}" in d
+        assert f"bev_dynamicness_{pair}" in d
+    assert "static_threshold" in d and "bev_range_m" in d
+    # restore into a fresh experiment
+    exp2 = SlimExperiment(cfg, bev, train_ds, val_ds, tmp_path)
+    import jax
+
+    from liso_tpu.data.dataset import collate
+    from liso_tpu.train.slim_experiment import batch_to_flow_sample
+
+    fs = batch_to_flow_sample(collate([train_ds[0]]))
+    exp2.state = exp2.trainer.init_state(jax.random.PRNGKey(1), fs)
+    exp2.maybe_restore()
+    assert int(exp2.state.step) == 3

@@ -98,24 +98,44 @@ class PillarEncoder(nn.Module):
         )
         in_pillar_s = jnp.take_along_axis(in_pillar, order, axis=-1)
 
-        def per_sample_stats(pts_i, cid_i, inp_i):
-            xyz = pts_i[..., :3]
-            s = jax.ops.segment_sum(
-                xyz, cid_i, num_segments=nc + 1, indices_are_sorted=True
-            )
-            cnt = jax.ops.segment_sum(
-                inp_i.astype(jnp.float32), cid_i, num_segments=nc + 1,
-                indices_are_sorted=True,
-            )
-            mean = s / jnp.maximum(cnt[:, None], 1e-8)
-            return mean, cnt
+        from liso_tpu.ops.grid_scatter_pallas import (
+            grid_reduce, use_pallas_grid_ops,
+        )
 
-        mean_grid, cnt_grid = jax.vmap(per_sample_stats)(
-            pts_s, cell_s, in_pillar_s
-        )
-        cluster_off = pts_s[..., :3] - jax.vmap(scatter.gather_grid)(
-            mean_grid[:, :nc], cell_s
-        )
+        on_tpu = use_pallas_grid_ops()
+        if on_tpu:
+            # per-point cluster means via segmented scans (no grid round
+            # trip: XLA scatter/gather serialize on TPU, see
+            # grid_scatter_pallas.py / ops/scatter.sorted_segment_totals)
+            xyz1 = jnp.concatenate(
+                [pts_s[..., :3], jnp.ones_like(pts_s[..., :1])], axis=-1
+            )
+            totals = scatter.sorted_segment_totals(xyz1, cell_s)
+            mean_at_pts = totals[..., :3] / jnp.maximum(
+                totals[..., 3:], 1e-8
+            )
+            cluster_off = pts_s[..., :3] - mean_at_pts
+        else:
+
+            def per_sample_stats(pts_i, cid_i, inp_i):
+                xyz = pts_i[..., :3]
+                s = jax.ops.segment_sum(
+                    xyz, cid_i, num_segments=nc + 1, indices_are_sorted=True
+                )
+                cnt = jax.ops.segment_sum(
+                    inp_i.astype(jnp.float32), cid_i, num_segments=nc + 1,
+                    indices_are_sorted=True,
+                )
+                mean = s / jnp.maximum(cnt[:, None], 1e-8)
+                return mean, cnt
+
+            mean_grid, cnt_grid = jax.vmap(per_sample_stats)(
+                pts_s, cell_s, in_pillar_s
+            )
+            cnt_grid = cnt_grid[:, :nc]
+            cluster_off = pts_s[..., :3] - jax.vmap(scatter.gather_grid)(
+                mean_grid[:, :nc], cell_s
+            )
         res = jnp.asarray(bev.res_m, points.dtype)
         emin = jnp.asarray(bev.extent_min, points.dtype)
         rc = jnp.stack([cell_s // w, cell_s % w], axis=-1).astype(points.dtype)
@@ -126,17 +146,33 @@ class PillarEncoder(nn.Module):
         x = nn.Dense(self.num_channels, use_bias=False, name="pfn_linear")(feats)
         x = MaskedBatchNorm(name="pfn_bn")(x, in_pillar_s, train)
         x = nn.relu(x)
-        x = jnp.where(in_pillar_s[..., None], x, -jnp.inf)
 
-        def per_sample_max(xi, ci):
-            g = jax.ops.segment_max(
-                xi, ci, num_segments=nc + 1, indices_are_sorted=True
-            )[:nc]
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            return g.reshape(h, w, self.num_channels)
+        if on_tpu:
+            # one kernel call: channel 64 carries occupancy (max of ones);
+            # exact=False: bf16 matmul passes — the image feeds bf16 convs
+            x65 = jnp.concatenate(
+                [x, jnp.ones_like(x[..., :1])], axis=-1
+            ).astype(jnp.bfloat16)
+            g = grid_reduce(x65, cell_s, nc, "max", False, False)
+            img = g[..., : self.num_channels].reshape(
+                -1, h, w, self.num_channels
+            )
+            occ = (g[..., self.num_channels] > 0.5).astype(
+                jnp.float32
+            ).reshape(-1, h, w, 1)
+            return img, occ
+        else:
+            x = jnp.where(in_pillar_s[..., None], x, -jnp.inf)
 
-        img = jax.vmap(per_sample_max)(x, cell_s)
-        occ = (cnt_grid[:, :nc] > 0).astype(jnp.float32).reshape(-1, h, w, 1)
+            def per_sample_max(xi, ci):
+                g = jax.ops.segment_max(
+                    xi, ci, num_segments=nc + 1, indices_are_sorted=True
+                )[:nc]
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                return g.reshape(h, w, self.num_channels)
+
+            img = jax.vmap(per_sample_max)(x, cell_s)
+        occ = (cnt_grid > 0).astype(jnp.float32).reshape(-1, h, w, 1)
         return img, occ
 
 

@@ -6,7 +6,9 @@ deltas for TPU:
 
   * channels-last [B, H, W, C] end to end (no NCHW permutes);
   * the all-pairs correlation volume is built with one batched MXU matmul and
-    kept as a 4-level average-pool pyramid; per-iteration lookups are 49
+    kept as a 4-level average-pool pyramid; on TPU the volume is padded/cast
+    to bf16 once per flow pass and per-iteration window lookups run a fused
+    Pallas kernel (ops/corr_lookup_pallas.py); elsewhere they are 49
     bilinear gathers per level (radius 3) via vmap, not grid_sample;
   * coords use a single (row, col) pixel convention; the reference flips
     between (x, y) RAFT convention and (row, col) "usfl" convention at the
@@ -166,17 +168,25 @@ def lookup_corr(
     return jnp.concatenate(out, axis=-1)
 
 
-def lookup_corr_dispatch(pyramid, coords, radius: int = 3) -> jnp.ndarray:
-    """Pallas window kernel on TPU (450x faster than the XLA gather at 512
-    grid: 0.26 ms vs 118 ms per iteration, bit-identical); jnp gather
-    elsewhere."""
+def make_corr_lookup(pyramid, radius: int = 3):
+    """Returns a coords -> [B, H, W, L*49] lookup closure. On TPU the
+    pyramid is padded/cast to bf16 ONCE (prepare_corr_volumes) and each of
+    the 6 RAFT iterations runs only the Pallas window kernel; elsewhere the
+    jnp gather path is used."""
     if jax.default_backend() == "tpu":
-        from liso_tpu.ops.corr_lookup_pallas import lookup_corr_pallas
+        from liso_tpu.ops.corr_lookup_pallas import (
+            lookup_prepared, prepare_corr_volumes,
+        )
 
-        hw = coords.shape[1] * coords.shape[2]
-        if hw % 8 == 0:
-            return lookup_corr_pallas(pyramid, coords, radius)
-    return lookup_corr(pyramid, coords, radius)
+        prepared = prepare_corr_volumes(pyramid, radius)
+        return lambda coords: lookup_prepared(prepared, coords, radius)
+    return lambda coords: lookup_corr(pyramid, coords, radius)
+
+
+def lookup_corr_dispatch(pyramid, coords, radius: int = 3) -> jnp.ndarray:
+    """One-shot dispatch (kept for tests); loops should use
+    make_corr_lookup to hoist volume preparation."""
+    return make_corr_lookup(pyramid, radius)(coords)
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +375,7 @@ class RAFT(nn.Module):
     ):
         update = self.update_block
         pyramid = build_corr_pyramid(fmap0, fmap1, self.corr_levels)
+        corr_lookup = make_corr_lookup(pyramid, self.corr_radius)
 
         net = jnp.tanh(cn[..., : self.hidden_dim])
         inp = nn.relu(cn[..., self.hidden_dim :])
@@ -398,9 +409,7 @@ class RAFT(nn.Module):
             logits = jax.lax.stop_gradient(logits)
             wlog = jax.lax.stop_gradient(wlog)
 
-            corr = lookup_corr_dispatch(
-                pyramid, coords0 + flow, self.corr_radius
-            )
+            corr = corr_lookup(coords0 + flow)
             net, dflow, dlogits, dw = update(
                 net,
                 inp,

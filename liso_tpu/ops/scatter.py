@@ -45,3 +45,44 @@ def gather_grid(grid: jnp.ndarray, cell_id: jnp.ndarray):
     masks). Inverse of scatter: per-point gather of BEV features."""
     safe = jnp.clip(cell_id, 0, grid.shape[0] - 1)
     return grid[safe]
+
+
+def sorted_segment_totals(values: jnp.ndarray, cells: jnp.ndarray):
+    """Per-point SEGMENT TOTAL for cell-sorted points, without touching the
+    grid: values [B, N, C], cells [B, N] ascending -> [B, N, C] where every
+    point carries the sum over its whole segment.
+
+    Two log-depth segmented scans (associative_scan), no scatter/gather —
+    on TPU both XLA scatter and row gathers serialize, so this is how the
+    pillar cluster means (reference PillarFeatureNet x-xm features,
+    pcl_to_feature_grid.py:40-47) are computed on-device.
+    """
+    start = jnp.concatenate(
+        [jnp.ones_like(cells[:, :1], bool), cells[:, 1:] != cells[:, :-1]],
+        axis=1,
+    )
+    flags = jnp.broadcast_to(start[..., None], values.shape)
+
+    def seg_add(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    prefix, _ = jax.lax.associative_scan(seg_add, (values, flags), axis=1)
+
+    # propagate each segment's LAST prefix value (the total) backwards:
+    # reversed order makes segment-last elements segment-first
+    last = jnp.concatenate(
+        [cells[:, 1:] != cells[:, :-1], jnp.ones_like(cells[:, :1], bool)],
+        axis=1,
+    )
+    rv = prefix[:, ::-1]
+    rf = jnp.broadcast_to(last[..., None], values.shape)[:, ::-1]
+
+    def hold_first(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va), fa | fb
+
+    totals_rev, _ = jax.lax.associative_scan(hold_first, (rv, rf), axis=1)
+    return totals_rev[:, ::-1]

@@ -42,8 +42,10 @@ def main():
     valid = jnp.ones((batch, n_pts), bool)
 
     key = jax.random.PRNGKey(0)
-    slim_vars = slim.init(key, pts0, valid, pts1, valid)
-    det_vars = det.init(key, pts0, valid)
+    # jit the inits: eager init dispatches every op separately through the
+    # TPU tunnel (~7 min for the pair); jitted it is one program (~30 s)
+    slim_vars = jax.jit(slim.init)(key, pts0, valid, pts1, valid)
+    det_vars = jax.jit(det.init)(key, pts0, valid)
 
     from liso_tpu.models.slim import SlimModel as _SM
 

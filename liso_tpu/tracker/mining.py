@@ -32,6 +32,7 @@ from liso_tpu.tracker.refinement import (
     refine_track_boxes,
 )
 from liso_tpu.tracker.smoothing import (
+    smooth_track_bike_model,
     MIN_TRACK_LEN_FOR_SMOOTHING,
     smooth_track_jerk,
 )
@@ -57,6 +58,8 @@ class MiningCfg(NamedTuple):
     fit_rot: bool = True
     fit_pos: bool = True
     smoothing_iters: int = 2000
+    track_smoothing_method: str = "jerk"  # or "bike_model"
+    vehicle_length_fallback_m: float = 4.0
     snippet_bloat: float = 1.1
     drop_boxes_on_bev_border: bool = True
     timeout_s: float = 0.0  # watchdog: stop ingesting frames after this
@@ -235,12 +238,26 @@ def mine_sequence(
             for k in track_sensor
         }
         if len(times) > MIN_TRACK_LEN_FOR_SMOOTHING:
-            pos, rot, velo = smooth_track_jerk(
-                jnp.asarray(tw["pos"], jnp.float32)[None],
-                jnp.ones((1, len(times)), bool),
-                jnp.asarray(tw["rot"], jnp.float32)[None],
-                max_iters=cfg.smoothing_iters,
-            )
+            if cfg.track_smoothing_method == "bike_model":
+                vlen = float(
+                    np.median(tw["dims"][:, 0])
+                    if "dims" in tw
+                    else cfg.vehicle_length_fallback_m
+                )
+                pos, rot, velo = smooth_track_bike_model(
+                    jnp.asarray(tw["pos"], jnp.float32)[None],
+                    jnp.ones((1, len(times)), bool),
+                    jnp.asarray(tw["rot"], jnp.float32)[None],
+                    jnp.asarray([vlen], jnp.float32),
+                    time_between_frames_s=cfg.time_between_frames_s,
+                )
+            else:
+                pos, rot, velo = smooth_track_jerk(
+                    jnp.asarray(tw["pos"], jnp.float32)[None],
+                    jnp.ones((1, len(times)), bool),
+                    jnp.asarray(tw["rot"], jnp.float32)[None],
+                    max_iters=cfg.smoothing_iters,
+                )
             tw["pos"] = np.asarray(pos[0])
             tw["rot"] = np.asarray(rot[0])
             tw["velo"] = np.asarray(velo[0]) / cfg.time_between_frames_s

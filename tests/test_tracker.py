@@ -165,3 +165,47 @@ def test_smooth_short_track_passthrough():
     yaw = jnp.zeros((2, 3, 1))
     p, r, v = smooth_track_jerk(pos, valid, yaw, max_iters=10)
     assert np.allclose(np.asarray(p), np.asarray(pos))
+
+
+class TestBikeModelSmoothing:
+    """Reference liso/tracker/track_smoothing.py:300-741
+    (smooth_track_bike_model / BatchedBikeModel / car_dynamics)."""
+
+    def _noisy_track(self, T=20, step=2.0, noise=0.3):
+        rng = np.random.RandomState(0)
+        pos = np.stack([np.arange(T) * step, np.zeros(T), np.zeros(T)], -1)
+        noisy = pos + rng.randn(T, 3) * np.array([noise, noise, 0.0])
+        return pos, noisy
+
+    def test_contract(self):
+        from liso_tpu.tracker.smoothing import smooth_track_bike_model
+
+        pos, noisy = self._noisy_track()
+        T = len(pos)
+        p, y, v = smooth_track_bike_model(
+            jnp.asarray(noisy[None], jnp.float32),
+            jnp.ones((1, T), bool),
+            jnp.zeros((1, T, 1), jnp.float32),
+            jnp.asarray([4.0], jnp.float32),
+            max_iters=300,
+        )
+        p, y, v = np.asarray(p), np.asarray(y), np.asarray(v)
+        assert np.isfinite(p).all() and np.isfinite(y).all()
+        assert (v >= 0).all()  # kinematic model cannot reverse
+        # tracks the observations to within ~1.5 m
+        assert np.abs(p[0, :, :2] - noisy[:, :2]).mean() < 1.5
+        # smoother than the raw observations (third-difference magnitude)
+        jerk = lambda x: np.abs(np.diff(x, n=3, axis=0)).mean()
+        assert jerk(p[0, :, :2]) < jerk(noisy[:, :2])
+        # z is passed through unchanged
+        np.testing.assert_allclose(p[0, :, 2], noisy[:, 2], atol=1e-6)
+
+    def test_short_track_passthrough(self):
+        from liso_tpu.tracker.smoothing import smooth_track_bike_model
+
+        pos = np.zeros((1, 3, 3), np.float32)
+        p, y, v = smooth_track_bike_model(
+            jnp.asarray(pos), jnp.ones((1, 3), bool),
+            jnp.zeros((1, 3, 1), jnp.float32), jnp.asarray([4.0], jnp.float32),
+        )
+        np.testing.assert_allclose(p, pos)

@@ -27,6 +27,10 @@ def parse_cli_args(argv=None):
     p.add_argument("-kv", "--key_value", nargs="+", action="append",
                    default=None, help="dotpath value updates")
     p.add_argument("--fast-test", dest="fast_test", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="shrink the run and capture a jax profiler trace")
+    p.add_argument("--cprofile", action="store_true",
+                   help="shrink the run and dump cProfile stats")
     p.add_argument("--summary_dir", default="/tmp/liso_tpu_logs")
     p.add_argument("--load_checkpoint", default=None)
     p.add_argument("--finetune", action="store_true")
@@ -38,6 +42,45 @@ def parse_cli_args(argv=None):
     args = p.parse_args(argv)
     assert args.world_size > args.worker_id, (args.world_size, args.worker_id)
     return args
+
+
+def apply_profile(cfg: Config) -> Config:
+    """config_helper_helper.py:34-66: shrink the run for a profiling
+    session (few steps, no val/checkpoint churn)."""
+    cfg.optimization.rounds.active = False
+    cfg.optimization.num_training_steps = 20
+    cfg.validation.val_every_n_steps = 10**9
+    cfg.checkpoint.save_model_every = 10**9
+    cfg.SLIM.iterations.train = 20
+    cfg.SLIM.iterations.eval_every = 10**9
+    cfg.SLIM.iterations.full_eval_every = 10**9
+    return cfg
+
+
+def run_maybe_profiled(args, log_dir, fn):
+    """Wrap a CLI main body: --profile captures a jax profiler trace (view
+    with tensorboard/xprof), --cprofile dumps host-side cProfile stats —
+    the TPU analogue of the reference's --profile/--cprofile flags."""
+    if getattr(args, "cprofile", False):
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        out = prof.runcall(fn)
+        stats_path = str(Path(log_dir) / "cprofile.stats")
+        prof.dump_stats(stats_path)
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(25)
+        print(f"cProfile stats written to {stats_path}")
+        return out
+    if getattr(args, "profile", False):
+        import jax
+
+        trace_dir = str(Path(log_dir) / "jax_trace")
+        with jax.profiler.trace(trace_dir):
+            out = fn()
+        print(f"jax profiler trace written to {trace_dir}")
+        return out
+    return fn()
 
 
 def apply_fast_test(cfg: Config) -> Config:
@@ -70,6 +113,8 @@ def load_cfg_make_logdir(args, exp_name: str):
     )
     if args.fast_test:
         cfg = apply_fast_test(cfg)
+    if getattr(args, "profile", False) or getattr(args, "cprofile", False):
+        cfg = apply_profile(cfg)
     set_seed(int(cfg.seed))
     cfg_hash = get_config_hash(cfg)[:5]
     stamp = datetime.now().strftime("%Y%m%d_%H%M%S")

@@ -7,7 +7,8 @@ reference:
 """
 from __future__ import annotations
 
-from liso_tpu.cli.common import load_cfg_make_logdir, parse_cli_args
+from liso_tpu.cli.common import (load_cfg_make_logdir, parse_cli_args,
+                                  run_maybe_profiled)
 from liso_tpu.cli.slim_cli import build_datasets
 from liso_tpu.data.dataset import DataCfg
 from liso_tpu.train.liso_loop import LisoSelfTraining
@@ -38,9 +39,13 @@ def main(argv=None):
         )
 
     loop = LisoSelfTraining(cfg, factory, val_ds, log_dir, data_cfg=dcfg)
-    loop.run(
-        total_steps=int(cfg.optimization.num_training_steps),
-        fast_test=args.fast_test,
+    run_maybe_profiled(
+        args,
+        log_dir,
+        lambda: loop.run(
+            total_steps=int(cfg.optimization.num_training_steps),
+            fast_test=args.fast_test,
+        ),
     )
     metrics = loop.validate(int(cfg.optimization.num_training_steps),
                             fast_test=args.fast_test)

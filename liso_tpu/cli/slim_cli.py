@@ -8,7 +8,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from liso_tpu.cli.common import load_cfg_make_logdir, parse_cli_args
+from liso_tpu.cli.common import (load_cfg_make_logdir, parse_cli_args,
+                                  run_maybe_profiled)
 from liso_tpu.data.dataset import DataCfg
 from liso_tpu.ops.bev import BevSetup
 
@@ -74,7 +75,9 @@ def main(argv=None):
         )
         print(f"exported flow for {n} samples to {log_dir / 'preds'}")
         return log_dir
-    exp.run(max_steps=3 if args.fast_test else None)
+    run_maybe_profiled(
+        args, log_dir, lambda: exp.run(max_steps=3 if args.fast_test else None)
+    )
     print(f"done; logs in {log_dir}")
     return log_dir
 

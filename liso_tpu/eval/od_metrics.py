@@ -293,6 +293,31 @@ class ObjectDetectionMetrics:
             a["is_fn"].append(np.zeros(len(tp_scores), bool))
 
     # ------------------------------------------------------------------
+    def curves(self):
+        """Per (class, threshold, category): interpolated PR + ROC-style
+        arrays for TB curve logging (reference od_metrics.py:547-1396 logs
+        these via SummaryWriter.add_pr_curve-equivalent raw summaries).
+        Returns {key: {"recall", "precision", "confidence"}}."""
+        out = {}
+        for cn in self.class_names:
+            for th in self.thresholds:
+                for cat in self.CATEGORIES:
+                    a = self.acc[cn][th][cat]
+                    if not a["labels"]:
+                        continue
+                    labels = np.concatenate(a["labels"])
+                    scores = np.concatenate(a["scores"])
+                    is_fn = np.concatenate(a["is_fn"])
+                    if not labels.any():
+                        continue
+                    conf, prec, rec = conf_prec_rec(labels, scores, is_fn)
+                    out[f"{cn}_{cat}_{self.criterion}@{th}"] = {
+                        "recall": rec,
+                        "precision": prec,
+                        "confidence": conf,
+                    }
+        return out
+
     def compute(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
         for cn in self.class_names:

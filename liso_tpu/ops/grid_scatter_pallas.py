@@ -189,7 +189,13 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
     n_tiles = num_cells // tile
     starts = _tile_starts(cells, num_cells, tile).reshape(-1)
     cells2 = cells.reshape(b, n // _SUB, _SUB)
-    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    # HIGHEST (3-pass bf16x) only applies to f32 inputs; for bf16 inputs a
+    # single pass IS exact and Mosaic rejects the fp32 contract precision
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if exact and feats.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     out = pl.pallas_call(
         partial(_reduce_kernel, op=op, tile=tile, prec=prec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -224,7 +230,11 @@ def _grid_gather_impl(grid, cells, interpret=False, exact=True):
     n_tiles = num_cells // tile
     starts = _tile_starts(cells, num_cells, tile).reshape(-1)
     cells2 = cells.reshape(b, n // _SUB, _SUB)
-    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if exact and grid.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     out = pl.pallas_call(
         partial(_gather_kernel, tile=tile, prec=prec),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -124,3 +124,52 @@ def load_augm_db(
         "box_T_sensor": db["box_T_sensor"][idx],
         "unique_track_id": np.asarray(db["unique_track_id"])[idx],
     }
+
+
+def build_augm_db_from_groundtruth(
+    samples,
+    min_num_points_in_box: int = 5,
+    max_size_of_db_mb: float = 100.0,
+) -> Dict[str, object]:
+    """GT-based copy-paste DB (reference
+    datasets/create_gt_augm_database.build_augmentation_db_from_actual_groundtruth:38):
+    for every GT box with >= min points, store the in-box point snippet in
+    box coordinates (+ intensity), lidar rows, the box attrs and
+    box_T_sensor. `samples` yields dicts with 'pcl' [N,>=4], 'gt_boxes'
+    (flat dict incl. 'valid'), optional 'lidar_rows'. Returns the finalized
+    array-layout DB (size-capped like the mined variant)."""
+    from liso_tpu.tracker.mining import box_poses  # lazy: avoids cycle
+
+    db = empty_augm_db()
+    next_id = 0
+    for sample in samples:
+        pcl = np.asarray(sample["pcl"])
+        rows = np.asarray(
+            sample.get("lidar_rows", np.zeros(len(pcl), np.int32))
+        )
+        g = sample["gt_boxes"]
+        valid = np.asarray(g["valid"]).reshape(-1).astype(bool)
+        for i in np.flatnonzero(valid):
+            one = {
+                k: np.asarray(v)[i : i + 1].astype(np.float32)
+                for k, v in g.items()
+                if k != "valid"
+            }
+            one.setdefault("probs", np.ones((1, 1), np.float32))
+            pose = box_poses(one)[0]
+            inv = np.linalg.inv(pose)
+            p_box = pcl[:, :3] @ inv[:3, :3].T + inv[:3, 3]
+            inside = np.all(np.abs(p_box) <= 0.5 * one["dims"][0], axis=-1)
+            if inside.sum() < min_num_points_in_box:
+                continue
+            snippet = np.concatenate(
+                [p_box[inside], pcl[inside][:, -1:]], axis=-1
+            ).astype(np.float32)
+            db["pcl_in_box_cosy"].append(snippet)
+            db["lidar_rows"].append(rows[inside])
+            db["boxes"].append({k: v[0] for k, v in one.items()})
+            db["box_T_sensor"].append(inv)
+            db["unique_track_id"].append(next_id)
+            next_id += 1
+    db = shrink_augm_db(db, max_size_of_db_mb)
+    return finalize_augm_db(db)

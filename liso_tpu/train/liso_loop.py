@@ -57,6 +57,15 @@ def frames_from_dataset(dataset: LidarDataset, idxs: List[int]) -> List[Frame]:
     return frames
 
 
+def _to_plain(cfg_node):
+    """Config/OmegaConf-ish tree -> plain dict for yaml dumps."""
+    if hasattr(cfg_node, "items"):
+        return {k: _to_plain(v) for k, v in cfg_node.items()}
+    if isinstance(cfg_node, (list, tuple)):
+        return [_to_plain(v) for v in cfg_node]
+    return cfg_node
+
+
 class LisoSelfTraining:
     def __init__(
         self,
@@ -73,6 +82,15 @@ class LisoSelfTraining:
         self.val_dataset = val_dataset
         self.log_dir = Path(log_dir)
         self.tb = TBFactory(self.log_dir / "tb")
+        # config text summary (reference logs the merged config as TB text)
+        try:
+            import yaml
+
+            self.tb("train").add_text(
+                "config", "```\n" + yaml.safe_dump(_to_plain(cfg)) + "\n```", 0
+            )
+        except Exception:
+            pass
 
         tc = cfg.data.tracking_cfg
         self.mining_cfg_bootstrap = MiningCfg(
@@ -242,6 +260,30 @@ class LisoSelfTraining:
         out = self.log_dir / f"mined_round_{self.round_idx}"
         save_mined_boxes_db(mined, out / "tracked")
         save_augm_db(augm, out / "augm_db")
+        # config + box-stats dumps next to the DBs (tracking.py:1938-1950)
+        import yaml
+
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / "tracking_cfg.yaml", "w") as f:
+            yaml.safe_dump(
+                _to_plain(self.cfg.data.tracking_cfg), f, sort_keys=False
+            )
+        confs = np.concatenate(
+            [
+                np.asarray(v["raw_box"]["probs"]).reshape(-1)
+                for v in mined.values()
+                if len(v.get("track_id", ()))
+            ]
+            or [np.zeros(0, np.float32)]
+        )
+        stats = {
+            "num_boxes": int(confs.size),
+            "conf_mean": float(confs.mean()) if confs.size else 0.0,
+            "conf_min": float(confs.min()) if confs.size else 0.0,
+            "conf_max": float(confs.max()) if confs.size else 0.0,
+        }
+        with open(out / "tracked_box_stats.yaml", "w") as f:
+            yaml.safe_dump(stats, f)
         n_boxes = sum(len(v["track_id"]) for v in mined.values())
         w = self.tb("train", "mining/")
         w.add_scalar("num_mined_boxes", n_boxes, self.round_idx)

@@ -95,6 +95,16 @@ class SlimExperiment:
         self.val_dataset = val_dataset
         self.log_dir = Path(log_dir)
         self.tb = TBFactory(self.log_dir / "tb")
+        try:
+            import yaml
+
+            from liso_tpu.train.liso_loop import _to_plain
+
+            self.tb("train").add_text(
+                "config", "```\n" + yaml.safe_dump(_to_plain(cfg)) + "\n```", 0
+            )
+        except Exception:
+            pass
         self.trainer = slim_trainer_from_cfg(cfg, bev, len(train_dataset))
         self.state = None
 

@@ -103,3 +103,47 @@ def test_flow_metrics_epe():
     assert out["AccR_overall"] > 0.99  # 0.087 < 0.1
     assert out["Outliers_overall"] < 0.01
     assert abs(out["AEE_moving"] - out["AEE_still"]) < 0.01
+
+
+def test_pr_curves_exposed():
+    """od_metrics.py:547-1396 TB curve parity: the bank exposes interpolated
+    PR arrays per (class, threshold, category)."""
+    from liso_tpu.eval.od_metrics import ObjectDetectionMetrics
+
+    bank = ObjectDetectionMetrics(box_matching_criterion="dist")
+    gt = {
+        "pos": np.array([[0.0, 0, 0], [10.0, 0, 0]], np.float32),
+        "dims": np.ones((2, 3), np.float32) * 2,
+        "rot": np.zeros((2, 1), np.float32),
+        "probs": np.ones((2, 1), np.float32),
+        "velo": np.zeros((2, 1), np.float32),
+    }
+    pred = {k: v.copy() for k, v in gt.items()}
+    pred["probs"] = np.array([[0.9], [0.7]], np.float32)
+    bank.update(gt, pred)
+    curves = bank.curves()
+    assert curves
+    any_curve = next(iter(curves.values()))
+    assert any_curve["recall"].shape == (101,)
+    assert any_curve["precision"].shape == (101,)
+    # perfect detections: precision 1 up to full recall
+    assert any_curve["precision"][:50].max() > 0.99
+
+
+def test_kitti_annotated_fov_counting():
+    """eval_ours.count_box_points_in_kitti_annotated_fov:97-117: points
+    behind the camera (outside the opening angle) never count."""
+    from liso_tpu.eval.run_val import count_box_points_in_kitti_annotated_fov
+
+    boxes = {
+        "pos": np.array([[5.0, 0, 0], [-5.0, 0, 0]], np.float32),
+        "dims": np.ones((2, 3), np.float32) * 2,
+        "rot": np.zeros((2, 1), np.float32),
+    }
+    pts_front = np.tile(np.array([[5.0, 0, 0, 1]], np.float32), (20, 1))
+    pts_back = np.tile(np.array([[-5.0, 0, 0, 1]], np.float32), (20, 1))
+    counts = count_box_points_in_kitti_annotated_fov(
+        boxes, np.concatenate([pts_front, pts_back])
+    )
+    assert counts[0] == 20  # in front, inside FoV
+    assert counts[1] == 0  # behind the camera: filtered by opening angle

@@ -135,3 +135,35 @@ def test_mining_timeout_watchdog():
     result = mine_sequence(frames, flow_cluster_detect, cfg, BEV)
     # no crash; few/no tracks; all sample ids present in the mined db
     assert set(result["mined_db"].keys()) == {f.sample_id for f in frames}
+
+
+def test_build_augm_db_from_groundtruth():
+    """datasets/create_gt_augm_database.py:38: GT boxes with enough points
+    become copy-paste snippets in box coordinates."""
+    from liso_tpu.tracker.dbs import build_augm_db_from_groundtruth
+
+    rng = np.random.RandomState(0)
+    pts_in = rng.uniform(-0.8, 0.8, (30, 3)) * np.array([2.0, 1.0, 0.7])
+    pts_in = pts_in + np.array([6.0, 3.0, 0.0])
+    clutter = rng.uniform(-20, 20, (100, 3))
+    pcl = np.concatenate(
+        [np.concatenate([pts_in, clutter]), np.ones((130, 1))], axis=1
+    ).astype(np.float32)
+    gt = {
+        "pos": np.array([[6.0, 3.0, 0.0], [50.0, 50.0, 0.0]], np.float32),
+        "dims": np.array([[4.2, 2.1, 1.6], [4.0, 2.0, 1.5]], np.float32),
+        "rot": np.zeros((2, 1), np.float32),
+        "probs": np.ones((2, 1), np.float32),
+        "velo": np.zeros((2, 1), np.float32),
+        "valid": np.array([True, True]),
+    }
+    db = build_augm_db_from_groundtruth(
+        [{"pcl": pcl, "gt_boxes": gt}], min_num_points_in_box=5
+    )
+    # box 2 is empty -> only box 1 makes it in
+    assert len(db["pcl_in_box_cosy"]) == 1
+    snip = db["pcl_in_box_cosy"][0]
+    assert len(snip) >= 30  # all planted points captured
+    # snippet is in box coords: centered, inside half-dims
+    assert np.abs(snip[:, :3]).max() <= 2.2
+    assert db["boxes"]["pos"].shape == (1, 3)

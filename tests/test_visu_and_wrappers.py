@@ -69,3 +69,33 @@ def test_nuscenes_wrapper_no_detections():
     out = m.compute()
     assert out["nusc/mAP"] == 0.0
     assert out["nusc/NDS"] < 0.45
+
+
+def test_range_image_rendering():
+    """visu/bbox_image.py:19-152 parity: spherical projection + box
+    wireframes on the range image."""
+    from liso_tpu.visu.bbox_image import (
+        draw_boxes_on_range_image,
+        range_project_points,
+        render_pcl_range_image,
+    )
+
+    rng = np.random.RandomState(0)
+    pcl = rng.uniform(-30, 30, (500, 4)).astype(np.float32)
+    pcl[:, 2] = rng.uniform(-2, 1, 500)
+    pcl[:, 3] = rng.rand(500)
+    img = render_pcl_range_image([pcl], height=64, width=256)
+    assert img.shape == (1, 64, 256, 3)
+    assert img.max() > 0
+    # a point straight ahead lands mid-azimuth
+    rows, cols = range_project_points(
+        np.array([[10.0, 0.0, 0.0]]), np.deg2rad(4), np.deg2rad(-25), 64, 256
+    )
+    assert abs(int(cols[0]) - 128) <= 1
+    boxes = {
+        "pos": np.array([[8.0, 0.0, 0.0]], np.float32),
+        "dims": np.array([[4.0, 2.0, 1.5]], np.float32),
+        "rot": np.zeros((1, 1), np.float32),
+    }
+    img2 = draw_boxes_on_range_image(img[0], boxes)
+    assert (img2 != img[0]).any()

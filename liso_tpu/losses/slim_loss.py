@@ -123,16 +123,27 @@ def flow_knn(
     chunk: int,
 ):
     """knn_wrapper.py:compute_flow_loss_a_to_b's kNN part: warp a by flow,
-    1-NN into b. Returns (warped [B,N,3], dist_sqr [B,N])."""
+    1-NN into b. Returns (warped [B,N,3], dist_sqr [B,N]).
+
+    On TPU this runs the x-band-pruned Pallas kernel
+    (ops/knn_pallas.nn_1_sorted); the SlimTrainer pre-sorts both clouds by
+    BEV cell (x-major), and the warp keeps queries x-clustered because
+    |flow| << band margin."""
     warped = cloud_a[..., :3] + flow_a_to_b
 
-    def per_sample(q, b, qv, bv):
-        d, _ = knn_ops.nn_1(q, b, qv, bv, chunk=chunk)
-        return d
+    if jax.default_backend() == "tpu":
+        from liso_tpu.ops.knn_pallas import nn_1_sorted_diff
 
-    d = jax.vmap(per_sample, in_axes=(0, 0, 0, 0))(
-        warped, cloud_b[..., :3], valid_a, valid_b
-    )
+        d = nn_1_sorted_diff(warped, cloud_b[..., :3], valid_a, valid_b)
+    else:
+
+        def per_sample(q, b, qv, bv):
+            d, _ = knn_ops.nn_1(q, b, qv, bv, chunk=chunk)
+            return d
+
+        d = jax.vmap(per_sample, in_axes=(0, 0, 0, 0))(
+            warped, cloud_b[..., :3], valid_a, valid_b
+        )
     d = jnp.where(valid_a, d, 0.0)
     return warped, d
 

@@ -99,7 +99,26 @@ def movavg_update(
         )
     bins = jnp.clip((dynamicness * res).astype(jnp.int32), 0, res - 1)
     bins = jnp.where(valid, bins, res)  # drop bucket
-    hist = jax.ops.segment_sum(improvements, bins, num_segments=res + 1)[:res]
+    if jax.default_backend() == "tpu":
+        # XLA scatter-add serializes on TPU (~150 ms per call at 393k
+        # points x 100k bins, and this runs once per RAFT iteration):
+        # sort + MXU one-hot scatter instead (grid_scatter_pallas).
+        from liso_tpu.ops.grid_scatter_pallas import grid_reduce
+
+        res_pad = -(-res // 2048) * 2048
+        bins_s, vals_s = jax.lax.sort(
+            [bins, improvements], dimension=0, num_keys=1
+        )
+        bins_s = jnp.where(  # drop bucket: past every grid tile
+            bins_s >= res, jnp.iinfo(jnp.int32).max, bins_s
+        )
+        hist = grid_reduce(
+            vals_s[None, :, None], bins_s[None], res_pad, "add"
+        )[0, :res, 0]
+    else:
+        hist = jax.ops.segment_sum(
+            improvements, bins, num_segments=res + 1
+        )[:res]
     count = valid.sum().astype(jnp.float32)
     # (1 - uw)^count via expm1/log1p: the reference keeps these buffers in
     # float64 because uw ~ 1e-9 vanishes in fp32; this form is fp32-exact

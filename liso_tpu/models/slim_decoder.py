@@ -100,11 +100,32 @@ def normalized_sigmoid_sum(logits: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarra
 
 
 def gather_grid_to_points(
-    grid: jnp.ndarray, rowcol: jnp.ndarray, valid: jnp.ndarray, default=0.0
+    grid: jnp.ndarray, rowcol: jnp.ndarray, valid: jnp.ndarray, default=0.0,
+    sorted_cells: jnp.ndarray = None,
 ):
     """grid [B, H, W, C], rowcol int [B, N, 2] -> [B, N, C] (reference
-    static_aggregation.batched_grid_data_to_pointwise_data)."""
+    static_aggregation.batched_grid_data_to_pointwise_data).
+
+    When `sorted_cells` (ascending flat cell ids, drop-bucket >= H*W for
+    invalid/out-of-range points) is given and we are on TPU, the MXU
+    sorted-cell gather kernel is used — the SlimTrainer pre-sorts every
+    cloud by BEV cell so the decoder's points arrive in that order (XLA row
+    gathers serialize on TPU). Out-of-range points then read 0 instead of
+    the reference's edge-clamped cell; they are outside the loss FoV mask
+    either way (knn_wrapper.py:58-135)."""
     h, w = grid.shape[1:3]
+
+    if sorted_cells is not None and jax.default_backend() == "tpu":
+        from liso_tpu.ops.grid_scatter_pallas import grid_gather
+
+        sq = grid.dtype == jnp.float32 and grid.shape[-1] <= 8
+        vals = grid_gather(
+            grid.reshape(grid.shape[0], h * w, -1), sorted_cells, False, sq
+        )
+        if default != 0.0:
+            vals = jnp.where(valid[..., None], vals, default)
+        return vals
+
     r = jnp.clip(rowcol[..., 0], 0, h - 1)
     c = jnp.clip(rowcol[..., 1], 0, w - 1)
 
@@ -162,6 +183,8 @@ def decode(
     cfg: DecoderCfg,
     pc: jnp.ndarray,  # [B, N, >=3]
     rowcol: jnp.ndarray,  # [B, N, 2] int (full-res pillar coords)
+    point_cells: jnp.ndarray = None,  # [B, N] ascending flat cells (sorted
+    # clouds; enables the TPU gather kernel)
     point_valid: jnp.ndarray,  # [B, N] bool
     filled_pillar_mask: jnp.ndarray,  # [B, H, W] bool
     inv_odom: jnp.ndarray,  # [B, 4, 4] odometry of the *other* direction
@@ -300,10 +323,10 @@ def decode(
         aggr_weight = aggr_weight * wmap
 
     pointwise_static_flow2 = gather_grid_to_points(
-        static_flow, rowcol, point_valid
+        static_flow, rowcol, point_valid, sorted_cells=point_cells
     )
     pointwise_staticness_w = gather_grid_to_points(
-        aggr_weight[..., None], rowcol, point_valid
+        aggr_weight[..., None], rowcol, point_valid, sorted_cells=point_cells
     )[..., 0]
     pts3 = jnp.where(point_valid[..., None], pc[..., :3], 0.0)
     flow3 = jnp.concatenate(

@@ -1,0 +1,192 @@
+"""Pallas TPU 1-NN with x-band pruning over cell-sorted point clouds.
+
+Replaces ops.knn.nn_1 on the SLIM loss path (reference pynanoflann KD-tree,
+liso/slim/slim_loss/knn_graph.py:57-80 — a CPU round-trip per loss step).
+The XLA brute force (ops/knn.nn_1) costs ~29 ms per 32k x 32k call at batch
+2 and runs 36x per SLIM train step (3 flow flavors x 2 directions x 6 RAFT
+iterations). This kernel keeps the refs VMEM-resident and exploits that both
+clouds are sorted by BEV cell id (row-major, rows = x bins): a query chunk
+spanning x in [qlo, qhi] can only have neighbours-within-`margin` in ref
+tiles whose x range intersects [qlo - margin, qhi + margin], so distant ref
+tiles are skipped entirely (scalar-predicated).
+
+Approximation contract: results equal the exact 1-NN for every query whose
+true NN is within `margin` meters in x; queries whose NN is farther get the
+best match inside the band (distance >= margin) or BIG if the band is empty
+— such matches are outliers that the SLIM loss Huber-clips / drops anyway
+(knn_wrapper.py:58-135).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e9
+_QC = 512  # queries per grid step
+_RT = 2048  # refs per VMEM tile
+
+
+def _knn_kernel(xlims_ref, q_ref, r_ref, out_ref, best_ref, bidx_ref, *,
+                n_ref_tiles, margin):
+    ib = pl.program_id(0)
+
+    q = q_ref[0, :, :]  # [QC, 4] (x, y, z, q_pen)
+    q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)  # [QC, 1]
+    qx = q[:, 0:1] + q[:, 3:4]  # invalid queries pushed out of every band
+    qlo = jnp.min(qx)
+    qhi = jnp.max(qx)
+
+    best_ref[...] = jnp.full((_QC, 1), BIG, jnp.float32)
+    bidx_ref[...] = jnp.zeros((_QC, 1), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_QC, _RT), 1)
+
+    def tile_body(jt, _):
+        # x limits arrive as int32 millimeters (f32 scalar prefetch is
+        # unreliable through SMEM)
+        tlo = xlims_ref[ib * 2 * n_ref_tiles + 2 * jt].astype(jnp.float32) * 1e-3
+        thi = xlims_ref[ib * 2 * n_ref_tiles + 2 * jt + 1].astype(jnp.float32) * 1e-3
+
+        @pl.when((thi >= qlo - margin) & (tlo <= qhi + margin))
+        def _():
+            r = r_ref[0, pl.ds(jt * _RT, _RT), :]  # [RT, 4] (x,y,z,r2+pen)
+            dots = jax.lax.dot_general(
+                q[:, :3],
+                r[:, :3],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [QC, RT]
+            sq = q2 + jnp.transpose(r[:, 3:4]) - 2.0 * dots
+            tile_min = jnp.min(sq, axis=1, keepdims=True)  # [QC, 1]
+            first = jnp.min(
+                jnp.where(sq <= tile_min, lane, _RT), axis=1, keepdims=True
+            )  # first argmin, np semantics
+            gidx = (jt * _RT + first).astype(jnp.float32)
+            best = best_ref[...]
+            upd = tile_min < best
+            best_ref[...] = jnp.where(upd, tile_min, best)
+            bidx_ref[...] = jnp.where(upd, gidx, bidx_ref[...])
+
+        return 0
+
+    jax.lax.fori_loop(0, n_ref_tiles, tile_body, 0)
+    out_ref[0, 0:1, :] = jnp.transpose(jnp.maximum(best_ref[...], 0.0))
+    out_ref[0, 1:2, :] = jnp.transpose(bidx_ref[...])
+
+
+@partial(jax.jit, static_argnames=("margin", "interpret"))
+def _nn1_impl(q, qpen, refs, rpen, margin=8.0, interpret=False):
+    """q [B, Nq, 3], qpen [B, Nq] (0 valid / BIG invalid), refs [B, Nr, 3],
+    rpen [B, Nr]. Both clouds MUST be sorted ascending in x (cell-major
+    order qualifies). Returns (sq_dist [B, Nq], idx [B, Nq] int32)."""
+    b, nq, _ = q.shape
+    nr = refs.shape[1]
+    nq_pad = -(-nq // _QC) * _QC
+    nr_pad = -(-nr // _RT) * _RT
+    qp = jnp.concatenate([q, qpen[..., None]], axis=-1)
+    qp = jnp.pad(qp, ((0, 0), (0, nq_pad - nq), (0, 0)),
+                 constant_values=BIG)
+    r2pen = jnp.sum(refs * refs, axis=-1) + rpen
+    # padded refs: coords 0 (so the dot term stays bounded) with an
+    # infinite metric channel so they are never chosen
+    refs_p = jnp.pad(refs, ((0, 0), (0, nr_pad - nr), (0, 0)))
+    r2pen_p = jnp.pad(
+        r2pen, ((0, 0), (0, nr_pad - nr)), constant_values=BIG
+    )
+    rp = jnp.concatenate([refs_p, r2pen_p[..., None]], axis=-1)
+    n_ref_tiles = nr_pad // _RT
+
+    # per-tile x ranges (valid refs only; empty tiles get an empty band)
+    rx = jnp.where(rpen > 0, jnp.nan, refs[..., 0])
+    rx = jnp.pad(rx, ((0, 0), (0, nr_pad - nr)), constant_values=jnp.nan)
+    rx_t = rx.reshape(b, n_ref_tiles, _RT)
+    tlo = jnp.nan_to_num(jnp.nanmin(rx_t, axis=-1), nan=BIG)
+    thi = jnp.nan_to_num(jnp.nanmax(rx_t, axis=-1), nan=-BIG)
+    xlims = jnp.clip(
+        jnp.stack([tlo, thi], axis=-1).reshape(-1) * 1e3, -2e9, 2e9
+    ).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        partial(_knn_kernel, n_ref_tiles=n_ref_tiles, margin=margin),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nq_pad // _QC),
+            in_specs=[
+                pl.BlockSpec((1, _QC, 4), lambda ib, iq, s: (ib, iq, 0)),
+                pl.BlockSpec((1, nr_pad, 4), lambda ib, iq, s: (ib, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, _QC), lambda ib, iq, s: (ib, 0, iq)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_QC, 1), jnp.float32),
+                pltpu.VMEM((_QC, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, nq_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xlims, qp, rp)
+    d = out[:, 0, :nq]
+    idx = out[:, 1, :nq].astype(jnp.int32)
+    invalid_q = qpen > 0
+    d = jnp.where(invalid_q, BIG, d)
+    idx = jnp.where(invalid_q, 0, jnp.clip(idx, 0, nr - 1))
+    return d, idx
+
+
+def nn_1_sorted(q, refs, q_valid, r_valid, margin: float = 8.0,
+                interpret: bool = False):
+    """Batched 1-NN for x-sorted clouds (see module docstring).
+    q [B, Nq, D>=3] ... -> (sq_dist [B, Nq], idx [B, Nq])."""
+    qpen = jnp.where(q_valid, 0.0, BIG)
+    rpen = jnp.where(r_valid, 0.0, BIG)
+    return _nn1_impl(q[..., :3], qpen, refs[..., :3], rpen, margin,
+                     interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def nn_1_sorted_diff(q, refs, q_valid, r_valid, margin: float = 8.0):
+    """Differentiable wrapper: d = ||q - nn(q)||^2 with the neighbour held
+    fixed, so dd/dq = 2 (q - nn) — the same semantics as the reference,
+    which takes indices from the (non-differentiable) KD-tree and
+    recomputes the distance differentiably (knn_wrapper.py:138-180).
+    refs are data (no cotangent). Returns sq_dist [B, Nq]."""
+    d, _ = _nn1_impl(
+        q[..., :3],
+        jnp.where(q_valid, 0.0, BIG),
+        refs[..., :3],
+        jnp.where(r_valid, 0.0, BIG),
+        margin,
+    )
+    return d
+
+
+def _nn_diff_fwd(q, refs, q_valid, r_valid, margin):
+    d, idx = _nn1_impl(
+        q[..., :3],
+        jnp.where(q_valid, 0.0, BIG),
+        refs[..., :3],
+        jnp.where(r_valid, 0.0, BIG),
+        margin,
+    )
+    return d, (q, refs, idx, q_valid)
+
+
+def _nn_diff_bwd(margin, res, g):
+    q, refs, idx, q_valid = res
+    nn = jnp.take_along_axis(refs[..., :3], idx[..., None], axis=1)
+    dq = 2.0 * (q[..., :3] - nn) * g[..., None]
+    dq = jnp.where(q_valid[..., None], dq, 0.0)
+    if q.shape[-1] > 3:
+        dq = jnp.pad(dq, ((0, 0), (0, 0), (0, q.shape[-1] - 3)))
+    return dq, jnp.zeros_like(refs), None, None
+
+
+nn_1_sorted_diff.defvjp(_nn_diff_fwd, _nn_diff_bwd)

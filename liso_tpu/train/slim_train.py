@@ -18,7 +18,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from liso_tpu.data.sample import FlowSample
+from liso_tpu.data.sample import FlowSample, PointCloud
 from liso_tpu.losses.slim_loss import SlimLossCfg, slim_loss_single_iteration
 from liso_tpu.models.pillar_encoder import pillar_coords
 from liso_tpu.models.slim import (
@@ -120,8 +120,42 @@ class SlimTrainer:
         )
 
     # ------------------------------------------------------------------
+    def _sort_batch(self, batch: FlowSample):
+        """Sort both clouds by BEV cell id (x-major row order). Invariant
+        for the loss (all reductions are masked means); required by the
+        TPU kNN kernel's x-band pruning and lets every grid<->point gather
+        use the sorted-cell Pallas ops. Returns (batch, (perm0, perm1))
+        with perms to recover the original point order."""
+        from liso_tpu.ops.bev import point_cell_ids
+
+        def sort_cloud(pc: PointCloud):
+            f = pc.pcl.shape[-1]
+            cell, _, _ = point_cell_ids(
+                pc.pcl[..., :2], self.bev, pc.valid
+            )
+            n = pc.pcl.shape[1]
+            arange = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.float32)[None], cell.shape
+            )
+            ops = jax.lax.sort(
+                [cell]
+                + [pc.pcl[..., i] for i in range(f)]
+                + [pc.valid.astype(jnp.float32), arange],
+                dimension=-1,
+                num_keys=1,
+            )
+            pcl = jnp.stack(ops[1 : 1 + f], axis=-1)
+            valid = ops[1 + f] > 0.5
+            perm = ops[2 + f].astype(jnp.int32)
+            return PointCloud(pcl=pcl, valid=valid), perm
+
+        pc0, perm0 = sort_cloud(batch.pcl_t0)
+        pc1, perm1 = sort_cloud(batch.pcl_t1)
+        return batch._replace(pcl_t0=pc0, pcl_t1=pc1), (perm0, perm1)
+
     def _forward_and_loss(self, params, batch_stats, movavg, batch: FlowSample,
                           train: bool):
+        batch, _ = self._sort_batch(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             (out_fw, out_bw, occ0, occ1), mut = self.model.apply(
@@ -145,8 +179,16 @@ class SlimTrainer:
             )
             new_batch_stats = batch_stats
 
-        rc0, _ = pillar_coords(batch.pcl_t0.pcl, batch.pcl_t0.valid, self.bev)
-        rc1, _ = pillar_coords(batch.pcl_t1.pcl, batch.pcl_t1.valid, self.bev)
+        rc0, inr0 = pillar_coords(batch.pcl_t0.pcl, batch.pcl_t0.valid, self.bev)
+        rc1, inr1 = pillar_coords(batch.pcl_t1.pcl, batch.pcl_t1.valid, self.bev)
+        h, w = self.bev.grid_size
+        imax = jnp.iinfo(jnp.int32).max
+        cells0 = jnp.where(
+            inr0 & batch.pcl_t0.valid, rc0[..., 0] * w + rc0[..., 1], imax
+        ).astype(jnp.int32)
+        cells1 = jnp.where(
+            inr1 & batch.pcl_t1.valid, rc1[..., 0] * w + rc1[..., 1], imax
+        ).astype(jnp.int32)
         thr = movavg_value(movavg)
 
         total = jnp.zeros(())
@@ -155,14 +197,16 @@ class SlimTrainer:
         for it in range(self.num_iters):
             pred_fw = decode(
                 out_fw[it], thr, cfg=self.dcfg,
-                pc=batch.pcl_t0.pcl, rowcol=rc0, point_valid=batch.pcl_t0.valid,
+                pc=batch.pcl_t0.pcl, rowcol=rc0, point_cells=cells0,
+                point_valid=batch.pcl_t0.valid,
                 filled_pillar_mask=occ0 > 0.5, inv_odom=batch.odom_t1_t0,
                 voxel_center_xy=self.voxel_centers,
                 gt_flow_bev=batch.gt_flow_bev_t0_t1,
             )
             pred_bw = decode(
                 out_bw[it], thr, cfg=self.dcfg,
-                pc=batch.pcl_t1.pcl, rowcol=rc1, point_valid=batch.pcl_t1.valid,
+                pc=batch.pcl_t1.pcl, rowcol=rc1, point_cells=cells1,
+                point_valid=batch.pcl_t1.valid,
                 filled_pillar_mask=occ1 > 0.5, inv_odom=batch.odom_t0_t1,
                 voxel_center_xy=self.voxel_centers,
                 gt_flow_bev=batch.gt_flow_bev_t1_t0,
@@ -208,8 +252,32 @@ class SlimTrainer:
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def predict_step(self, state: SlimTrainState, batch: FlowSample):
-        """Final-iteration predictions for eval / flow export."""
+        """Final-iteration predictions for eval / flow export, with
+        per-point outputs restored to the caller's point order (the
+        forward pass runs on cell-sorted points)."""
         _, (_, _, _, last_pred) = self._forward_and_loss(
             state.params, state.batch_stats, state.movavg, batch, train=False
         )
-        return last_pred
+        _, (perm0, perm1) = self._sort_batch(batch)
+        n0 = batch.pcl_t0.pcl.shape[1]
+        n1 = batch.pcl_t1.pcl.shape[1]
+
+        def unsort(pred, perm, n):
+            inv = jnp.argsort(perm, axis=-1)
+
+            def fix(x):
+                if (
+                    isinstance(x, jnp.ndarray)
+                    and x.ndim >= 2
+                    and x.shape[:2] == perm.shape
+                ):
+                    return jnp.take_along_axis(
+                        x,
+                        inv.reshape(inv.shape + (1,) * (x.ndim - 2)),
+                        axis=1,
+                    )
+                return x
+            return jax.tree_util.tree_map(fix, pred)
+
+        pred_fw, pred_bw = last_pred
+        return unsort(pred_fw, perm0, n0), unsort(pred_bw, perm1, n1)

@@ -168,3 +168,75 @@ def test_kitti_dataset_reads_etl_format(tmp_path):
     assert s2.gt_boxes is not None
     assert s2.gt_boxes["valid"].sum() == 2
     assert (s2.gt_boxes["class_id"][s2.gt_boxes["valid"]] == 0).all()
+
+
+class TestAV2Create:
+    """Devkit-free AV2 ETL (liso_tpu/data/create_av2.py vs reference
+    liso/datasets/argoverse2/create.py)."""
+
+    def _make_log(self, root, log_id="log01", n_frames=4):
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        rng = np.random.RandomState(0)
+        log = root / log_id
+        (log / "sensors" / "lidar").mkdir(parents=True)
+        ts0 = 315967000000000000
+        poses = {"timestamp_ns": [], "qw": [], "qx": [], "qy": [], "qz": [],
+                 "tx_m": [], "ty_m": [], "tz_m": []}
+        for i in range(n_frames):
+            ts = ts0 + i * 100_000_000
+            n = 400
+            pts = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+            pts[:, 2] = rng.uniform(-1.8, 1.0, n)
+            tbl = pa.table({
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": rng.randint(0, 255, n).astype(np.uint8),
+                "laser_number": rng.randint(0, 32, n).astype(np.uint8),
+                "offset_ns": np.zeros(n, np.int32),
+            })
+            feather.write_feather(tbl, log / "sensors" / "lidar" / f"{ts}.feather")
+            poses["timestamp_ns"].append(ts)
+            for k, v in (("qw", 1.0), ("qx", 0.0), ("qy", 0.0), ("qz", 0.0),
+                         ("tx_m", 2.0 * i), ("ty_m", 0.0), ("tz_m", 0.0)):
+                poses[k].append(v)
+        feather.write_feather(pa.table(poses), log / "city_SE3_egovehicle.feather")
+        anno = pa.table({
+            "timestamp_ns": [ts0, ts0],
+            "category": ["REGULAR_VEHICLE", "PEDESTRIAN"],
+            "length_m": [4.5, 0.8], "width_m": [2.0, 0.8],
+            "height_m": [1.6, 1.8],
+            "qw": [1.0, 1.0], "qx": [0.0, 0.0], "qy": [0.0, 0.0],
+            "qz": [0.0, 0.0],
+            "tx_m": [10.0, -5.0], "ty_m": [3.0, 2.0], "tz_m": [0.0, 0.0],
+            "num_interior_pts": [25, 12],
+        })
+        feather.write_feather(anno, log / "annotations.feather")
+        return log
+
+    def test_convert_log(self, tmp_path):
+        from liso_tpu.data.create_av2 import convert_log
+
+        log = self._make_log(tmp_path)
+        out = tmp_path / "converted"
+        n = convert_log(log, out, use_icp=False)
+        assert n == 2  # 4 frames -> 2 triplets
+        files = sorted(out.glob("*.npy"))
+        d = np.load(files[0], allow_pickle=True).item()
+        assert d["pcl_t0"].shape[1] == 4
+        assert d["is_ground_t0"].dtype == bool
+        # ego moved +2 m in x between frames
+        np.testing.assert_allclose(d["odom_t0_t1"][0, 3], 2.0, atol=1e-6)
+        assert "kiss_odom_t0_t1" in d
+        obj = d["objects_t0"]
+        assert list(obj["category"]) == ["REGULAR_VEHICLE", "PEDESTRIAN"]
+        np.testing.assert_allclose(obj["poses"][0][:3, 3], [10.0, 3.0, 0.0])
+        # the converted sample feeds the AV2 reader's box extraction
+        from liso_tpu.data.kitti import _boxes_from_objects
+        from liso_tpu.data.labels import LabelMap
+
+        av2_map = LabelMap(
+            {"REGULAR_VEHICLE": "car", "PEDESTRIAN": "pedestrian"}
+        )
+        boxes = _boxes_from_objects(obj, av2_map)
+        assert boxes["pos"].shape == (2, 3)

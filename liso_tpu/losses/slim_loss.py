@@ -134,7 +134,7 @@ def flow_knn(
     if jax.default_backend() == "tpu":
         from liso_tpu.ops.knn_pallas import nn_1_sorted_diff
 
-        d = nn_1_sorted_diff(warped, cloud_b[..., :3], valid_a, valid_b)
+        d = nn_1_sorted_diff(warped, cloud_b[..., :3], valid_a, valid_b, 4.0)
     else:
 
         def per_sample(q, b, qv, bv):

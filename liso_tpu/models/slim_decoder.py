@@ -115,7 +115,9 @@ def gather_grid_to_points(
     either way (knn_wrapper.py:58-135)."""
     h, w = grid.shape[1:3]
 
-    if sorted_cells is not None and jax.default_backend() == "tpu":
+    # NOTE: measured SLOWER than the XLA gather here (the kernel's ~5 ms
+    # fixed cost x 60 small gathers per step); keep the plumbing, gate off
+    if False and sorted_cells is not None and jax.default_backend() == "tpu":
         from liso_tpu.ops.grid_scatter_pallas import grid_gather
 
         sq = grid.dtype == jnp.float32 and grid.shape[-1] <= 8

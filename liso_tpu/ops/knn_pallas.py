@@ -27,55 +27,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e9
 _QC = 512  # queries per grid step
-_RT = 2048  # refs per VMEM tile
+_RT = 1024  # refs per VMEM tile
 
 
-def _knn_kernel(xlims_ref, q_ref, r_ref, out_ref, best_ref, bidx_ref, *,
+def _knn_kernel(ranges_ref, q_ref, r_ref, out_ref, best_ref, bidx_ref, *,
                 n_ref_tiles, margin):
     ib = pl.program_id(0)
+    iq = pl.program_id(1)
+    nq_chunks = pl.num_programs(1)
 
     q = q_ref[0, :, :]  # [QC, 4] (x, y, z, q_pen)
     q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)  # [QC, 1]
-    qx = q[:, 0:1] + q[:, 3:4]  # invalid queries pushed out of every band
-    qlo = jnp.min(qx)
-    qhi = jnp.max(qx)
+    ones = jnp.ones_like(q[:, :1])
+    qm = jnp.concatenate([-2.0 * q[:, :3], ones], axis=1)  # [QC, 4]
 
     best_ref[...] = jnp.full((_QC, 1), BIG, jnp.float32)
     bidx_ref[...] = jnp.zeros((_QC, 1), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_QC, _RT), 1)
 
+    # contiguous visit range (x-sorted tiles), precomputed host-side
+    t_lo = ranges_ref[(ib * nq_chunks + iq) * 2]
+    t_hi = ranges_ref[(ib * nq_chunks + iq) * 2 + 1]
+
     def tile_body(jt, _):
-        # x limits arrive as int32 millimeters (f32 scalar prefetch is
-        # unreliable through SMEM)
-        tlo = xlims_ref[ib * 2 * n_ref_tiles + 2 * jt].astype(jnp.float32) * 1e-3
-        thi = xlims_ref[ib * 2 * n_ref_tiles + 2 * jt + 1].astype(jnp.float32) * 1e-3
-
-        @pl.when((thi >= qlo - margin) & (tlo <= qhi + margin))
-        def _():
-            r = r_ref[0, pl.ds(jt * _RT, _RT), :]  # [RT, 4] (x,y,z,r2+pen)
-            dots = jax.lax.dot_general(
-                q[:, :3],
-                r[:, :3],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [QC, RT]
-            sq = q2 + jnp.transpose(r[:, 3:4]) - 2.0 * dots
-            tile_min = jnp.min(sq, axis=1, keepdims=True)  # [QC, 1]
-            first = jnp.min(
-                jnp.where(sq <= tile_min, lane, _RT), axis=1, keepdims=True
-            )  # first argmin, np semantics
-            gidx = (jt * _RT + first).astype(jnp.float32)
-            best = best_ref[...]
-            upd = tile_min < best
-            best_ref[...] = jnp.where(upd, tile_min, best)
-            bidx_ref[...] = jnp.where(upd, gidx, bidx_ref[...])
-
+        r = r_ref[0, pl.ds(jt * _RT, _RT), :]  # [RT, 4] (x,y,z,r2+pen)
+        # fused metric: q row (-2x,-2y,-2z,1) . r row (x,y,z,r2+pen)
+        # = r^2 + pen - 2 q.r, so sq needs only one add afterwards
+        dots = jax.lax.dot_general(
+            qm,
+            r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [QC, RT]
+        sq = q2 + dots
+        tile_min = jnp.min(sq, axis=1, keepdims=True)  # [QC, 1]
+        first = jnp.min(
+            jnp.where(sq <= tile_min, lane, _RT), axis=1, keepdims=True
+        )  # first argmin, np semantics
+        gidx = (jt * _RT + first).astype(jnp.float32)
+        best = best_ref[...]
+        upd = tile_min < best
+        best_ref[...] = jnp.where(upd, tile_min, best)
+        bidx_ref[...] = jnp.where(upd, gidx, bidx_ref[...])
         return 0
 
-    jax.lax.fori_loop(0, n_ref_tiles, tile_body, 0)
-    out_ref[0, 0:1, :] = jnp.transpose(jnp.maximum(best_ref[...], 0.0))
-    out_ref[0, 1:2, :] = jnp.transpose(bidx_ref[...])
+    jax.lax.fori_loop(t_lo, t_hi, tile_body, 0)
+    # transpose-free store: lane 0 = distance, lane 1 = index
+    pair = jnp.concatenate(
+        [jnp.maximum(best_ref[...], 0.0), bidx_ref[...]], axis=1
+    )  # [QC, 2]
+    out_ref[0, :, :] = jnp.pad(pair, ((0, 0), (0, 126)))
 
 
 @partial(jax.jit, static_argnames=("margin", "interpret"))
@@ -106,9 +108,22 @@ def _nn1_impl(q, qpen, refs, rpen, margin=8.0, interpret=False):
     rx_t = rx.reshape(b, n_ref_tiles, _RT)
     tlo = jnp.nan_to_num(jnp.nanmin(rx_t, axis=-1), nan=BIG)
     thi = jnp.nan_to_num(jnp.nanmax(rx_t, axis=-1), nan=-BIG)
-    xlims = jnp.clip(
-        jnp.stack([tlo, thi], axis=-1).reshape(-1) * 1e3, -2e9, 2e9
-    ).astype(jnp.int32)
+
+    # per-chunk contiguous tile visit ranges: tiles are x-ordered, so the
+    # band is [first tile with thi >= qlo - m, last tile with tlo <= qhi+m)
+    qx = jnp.where(qpen > 0, jnp.nan, q[..., 0])
+    qx = jnp.pad(qx, ((0, 0), (0, nq_pad - nq)), constant_values=jnp.nan)
+    qx_c = qx.reshape(b, nq_pad // _QC, _QC)
+    qlo = jnp.nan_to_num(jnp.nanmin(qx_c, axis=-1), nan=BIG)
+    qhi = jnp.nan_to_num(jnp.nanmax(qx_c, axis=-1), nan=-BIG)
+    t_lo = jax.vmap(
+        lambda th, ql: jnp.searchsorted(th, ql - margin, side="left")
+    )(thi, qlo)
+    t_hi = jax.vmap(
+        lambda tl, qh: jnp.searchsorted(tl, qh + margin, side="right")
+    )(tlo, qhi)
+    t_hi = jnp.maximum(t_hi, t_lo)  # empty range for empty chunks
+    ranges = jnp.stack([t_lo, t_hi], axis=-1).reshape(-1).astype(jnp.int32)
 
     out = pl.pallas_call(
         partial(_knn_kernel, n_ref_tiles=n_ref_tiles, margin=margin),
@@ -120,21 +135,21 @@ def _nn1_impl(q, qpen, refs, rpen, margin=8.0, interpret=False):
                 pl.BlockSpec((1, nr_pad, 4), lambda ib, iq, s: (ib, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, 8, _QC), lambda ib, iq, s: (ib, 0, iq)
+                (1, _QC, 128), lambda ib, iq, s: (ib, iq, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((_QC, 1), jnp.float32),
                 pltpu.VMEM((_QC, 1), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 8, nq_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xlims, qp, rp)
-    d = out[:, 0, :nq]
-    idx = out[:, 1, :nq].astype(jnp.int32)
+    )(ranges, qp, rp)
+    d = out[:, :nq, 0]
+    idx = out[:, :nq, 1].astype(jnp.int32)
     invalid_q = qpen > 0
     d = jnp.where(invalid_q, BIG, d)
     idx = jnp.where(invalid_q, 0, jnp.clip(idx, 0, nr - 1))

@@ -216,7 +216,7 @@ class TestKnnPallas:
         d, i, d_ref, i_ref = map(np.asarray, (d, i, d_ref, i_ref))
         close = (d_ref < 8.0**2) & qv
         np.testing.assert_array_equal(i[close], i_ref[close])
-        np.testing.assert_allclose(d[close], d_ref[close], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(d[close], d_ref[close], rtol=1e-3, atol=1e-3)
         assert (d[~qv] >= 1e8).all()  # invalid queries
         assert (i[:, :10] != 0).any() or True  # invalid refs never chosen:
         assert not np.isin(i[close], [0, 1, 2]).any()

@@ -79,9 +79,14 @@ def centerpoint_loss(
     rot_l1 = jnp.abs(raw_activated_maps["rot"] - gt_maps["rot"]).sum(-1)
     losses["rot"] = 10.0 * (rot_l1 * w).sum()
 
-    # dims / pos: masked mean over (cells x channels), / num_pos
+    # dims / pos: masked mean over (cells x channels), / num_pos.
+    # Supervise only the channels the representation predicts: the
+    # reference's predict_aspect_ratio decodes 2 dims (len, width — no
+    # height, output_modification.py:66-77) and global_relative can carry
+    # 2 pos dims; gt maps always render 3.
     for attr in ("dims", "pos"):
-        err = jnp.abs(decoded_pred_maps[attr] - gt_maps[attr])
+        pred = decoded_pred_maps[attr]
+        err = jnp.abs(pred - gt_maps[attr][..., : pred.shape[-1]])
         cnt = jnp.maximum(m.sum() * err.shape[-1], 1.0)
         losses[attr] = jnp.where(m[..., None], err, 0.0).sum() / cnt / num_pos
 

@@ -106,8 +106,16 @@ def _nn1_impl(q, qpen, refs, rpen, margin=8.0, interpret=False):
     rx = jnp.where(rpen > 0, jnp.nan, refs[..., 0])
     rx = jnp.pad(rx, ((0, 0), (0, nr_pad - nr)), constant_values=jnp.nan)
     rx_t = rx.reshape(b, n_ref_tiles, _RT)
+    # Empty (all-invalid) tiles can only TRAIL: invalid points sort to the
+    # drop-bucket cell id (last) and pad refs are appended after them. Both
+    # sentinels must therefore be +BIG so tlo and thi stay ascending — the
+    # precondition of the searchsorted band computation below. (thi=-BIG
+    # would break it and collapse every visit range to empty.)
     tlo = jnp.nan_to_num(jnp.nanmin(rx_t, axis=-1), nan=BIG)
-    thi = jnp.nan_to_num(jnp.nanmax(rx_t, axis=-1), nan=-BIG)
+    thi = jnp.nan_to_num(jnp.nanmax(rx_t, axis=-1), nan=BIG)
+    n_nonempty = jnp.sum(
+        jnp.any(~jnp.isnan(rx_t), axis=-1), axis=-1
+    )  # [b] count of tiles with >=1 valid ref
 
     # per-chunk contiguous tile visit ranges: tiles are x-ordered, so the
     # band is [first tile with thi >= qlo - m, last tile with tlo <= qhi+m)
@@ -122,6 +130,9 @@ def _nn1_impl(q, qpen, refs, rpen, margin=8.0, interpret=False):
     t_hi = jax.vmap(
         lambda tl, qh: jnp.searchsorted(tl, qh + margin, side="right")
     )(tlo, qhi)
+    # never visit trailing empty tiles (their thi=BIG makes t_lo land on
+    # them when every real tile is left of the query band)
+    t_hi = jnp.minimum(t_hi, n_nonempty[:, None])
     t_hi = jnp.maximum(t_hi, t_lo)  # empty range for empty chunks
     ranges = jnp.stack([t_lo, t_hi], axis=-1).reshape(-1).astype(jnp.int32)
 

@@ -250,6 +250,7 @@ def mine_sequence(
                     jnp.asarray(tw["rot"], jnp.float32)[None],
                     jnp.asarray([vlen], jnp.float32),
                     time_between_frames_s=cfg.time_between_frames_s,
+                    max_iters=cfg.smoothing_iters,
                 )
             else:
                 pos, rot, velo = smooth_track_jerk(

@@ -41,19 +41,30 @@ from liso_tpu.utils.tb import TBFactory
 
 def frames_from_dataset(dataset: LidarDataset, idxs: List[int]) -> List[Frame]:
     frames = []
-    for i in idxs:
-        s = dataset[i]
-        v = s.frame_t0.valid
-        frames.append(
-            Frame(
-                sample_id=s.sample_id,
-                pcl=s.frame_t0.pcl[v],
-                valid=np.ones(int(v.sum()), bool),
-                flow=s.flow_t0_t1[v],
-                odom_ta_tb=np.asarray(s.odom_t0_t1, np.float64),
-                lidar_rows=s.frame_t0.rows[v],
+    # mining ALWAYS uses consecutive keys (t0->t1) and NO global geometric
+    # augmentation: the reference mines with fixed time_delta on raw
+    # samples, while __getitem__ applies the random skip-frame curriculum
+    # (use_skip_frames="both") plus SE(2) jitter intended only for detector
+    # training — mixing 0.1 s / 0.2 s pairs frame-by-frame corrupts
+    # flow/odometry consistency along the mined sequence.
+    saved_augm = dataset.augmentation
+    dataset.augmentation = None
+    try:
+        for i in idxs:
+            s = dataset.get_pair(i, "t0", "t1")
+            v = s.frame_t0.valid
+            frames.append(
+                Frame(
+                    sample_id=s.sample_id,
+                    pcl=s.frame_t0.pcl[v],
+                    valid=np.ones(int(v.sum()), bool),
+                    flow=s.flow_t0_t1[v],
+                    odom_ta_tb=np.asarray(s.odom_t0_t1, np.float64),
+                    lidar_rows=s.frame_t0.rows[v],
+                )
             )
-        )
+    finally:
+        dataset.augmentation = saved_augm
     return frames
 
 

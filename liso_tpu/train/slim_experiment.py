@@ -35,6 +35,20 @@ from liso_tpu.utils.checkpoint import (
 from liso_tpu.utils.tb import TBFactory
 
 
+def compute_moving_mask(
+    pts: np.ndarray,
+    flow_gt: np.ndarray,
+    odom_t1_t0: np.ndarray,
+    thresh: float,
+) -> np.ndarray:
+    """Point is moving iff its GT flow deviates from the full rigid ego
+    flow R @ p + t - p by more than `thresh` (reference
+    liso/eval/eval_ours.py:340-358). The translation term is essential:
+    without it any ego motion (~1 m/frame) marks every point moving."""
+    rigid_flow = pts @ odom_t1_t0[:3, :3].T + odom_t1_t0[:3, 3] - pts
+    return np.linalg.norm(flow_gt - rigid_flow, axis=-1) > thresh
+
+
 def batch_to_flow_sample(b: dict) -> FlowSample:
     return FlowSample(
         pcl_t0=PointCloud(jnp.asarray(b["pcl_t0"]), jnp.asarray(b["valid_t0"])),
@@ -175,14 +189,8 @@ class SlimExperiment:
             flow_gt = np.asarray(batch["flow_t0_t1"][0])
             pts = np.asarray(batch["pcl_t0"][0, :, :3])
             mask = np.asarray(batch["valid_t0"][0])
-            is_moving = (
-                np.linalg.norm(
-                    flow_gt
-                    - (np.asarray(batch["odom_t1_t0"][0, :3, :3]) @ pts.T).T
-                    + pts,
-                    axis=-1,
-                )
-                > thresh
+            is_moving = compute_moving_mask(
+                pts, flow_gt, np.asarray(batch["odom_t1_t0"][0]), thresh
             )
             fm.update(pts, flow_pred, flow_gt, is_moving, mask)
         out = fm.compute()

@@ -66,3 +66,35 @@ def test_full_self_training_loop(fast_cfg, tmp_path):
     # final validation runs
     metrics = loop.validate(6, fast_test=True)
     assert any(k.startswith("mAP") for k in metrics)
+
+
+def test_mining_frames_use_fixed_consecutive_keys_and_no_augm():
+    """VERDICT r1 bug 3: mining must not inherit the random skip-frame
+    curriculum (t0->t2 pairs) or the global SE(2) augmentation — frames
+    must always be the raw t0->t1 pair, deterministically."""
+    from liso_tpu.train.liso_loop import frames_from_dataset
+
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    dcfg = DataCfg(
+        bev=bev, n_max=4096, m_max=12288, use_skip_frames="both"
+    )
+    calls = []
+
+    class SpyDataset(SyntheticDataset):
+        def _build(self, content, idx, a, b, dt):
+            calls.append((a, b, self.augmentation is None))
+            return super()._build(content, idx, a, b, dt)
+
+    def fake_augm(content, rng):  # would jitter geometry if ever applied
+        raise AssertionError("augmentation must be disabled during mining")
+
+    ds = SpyDataset(dcfg, n_frames=6)
+    ds.augmentation = fake_augm
+    f1 = frames_from_dataset(ds, [0, 1, 2])
+    assert calls == [("t0", "t1", True)] * 3
+    assert ds.augmentation is fake_augm  # restored afterwards
+    # deterministic: a second pass yields identical odometry + flow
+    f2 = frames_from_dataset(ds, [0, 1, 2])
+    for a, b in zip(f1, f2):
+        np.testing.assert_array_equal(a.odom_ta_tb, b.odom_ta_tb)
+        np.testing.assert_array_equal(a.flow, b.flow)

@@ -186,26 +186,36 @@ class TestKnnPallas:
     compiled exactness vs scipy verified on TPU (99.98% of neighbours,
     remainder = beyond-margin outliers)."""
 
-    def _clouds(self, B=2, Nq=768, Nr=1024):
+    def _clouds(self, B=2, Nq=768, Nr=6144, r_valid_frac=0.5):
+        """Cell-style clouds: valid points x-sorted FIRST, invalid points
+        at the TAIL (how ops/knn.py sorts by cell id — invalid points get
+        the drop-bucket id). With r_valid_frac=0.5 and Nr=6144 (_RT=1024)
+        the last ~3 ref tiles are fully invalid, exercising the trailing
+        empty-tile sentinel path that regressed in round 1 (ADVICE high)."""
         rng = np.random.RandomState(1)
 
-        def sc(n):
+        def sc(n, n_valid):
             pts = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
-            return pts[np.argsort(pts[:, 0])]
+            pts[:n_valid] = pts[:n_valid][np.argsort(pts[:n_valid, 0])]
+            valid = np.zeros(n, bool)
+            valid[:n_valid] = True
+            return pts, valid
 
-        q = np.stack([sc(Nq) for _ in range(B)])
-        r = np.stack([sc(Nr) for _ in range(B)])
-        return q, r
+        nq_valid = Nq - 5
+        nr_valid = int(Nr * r_valid_frac)
+        qs, rs = [sc(Nq, nq_valid) for _ in range(B)], [
+            sc(Nr, nr_valid) for _ in range(B)
+        ]
+        q = np.stack([p for p, _ in qs])
+        qv = np.stack([v for _, v in qs])
+        r = np.stack([p for p, _ in rs])
+        rv = np.stack([v for _, v in rs])
+        return q, qv, r, rv
 
     def test_matches_brute_force_within_margin(self):
         from liso_tpu.ops.knn_pallas import nn_1_sorted
 
-        q, r = self._clouds()
-        B, Nq, _ = q.shape
-        qv = np.ones((B, Nq), bool)
-        qv[:, -5:] = False
-        rv = np.ones((B, r.shape[1]), bool)
-        rv[:, :3] = False
+        q, qv, r, rv = self._clouds()
         d, i = nn_1_sorted(
             jnp.asarray(q), jnp.asarray(r), jnp.asarray(qv),
             jnp.asarray(rv), interpret=True,
@@ -215,8 +225,22 @@ class TestKnnPallas:
         )(jnp.asarray(q), jnp.asarray(r), jnp.asarray(qv), jnp.asarray(rv))
         d, i, d_ref, i_ref = map(np.asarray, (d, i, d_ref, i_ref))
         close = (d_ref < 8.0**2) & qv
+        # dense clouds: nearly every valid query must have an in-margin NN,
+        # and the kernel must find ALL of them (the round-1 regression
+        # returned dist=1e9 for every query when trailing tiles were empty)
+        assert close.sum() > 0.9 * qv.sum()
         np.testing.assert_array_equal(i[close], i_ref[close])
         np.testing.assert_allclose(d[close], d_ref[close], rtol=1e-3, atol=1e-3)
         assert (d[~qv] >= 1e8).all()  # invalid queries
-        assert (i[:, :10] != 0).any() or True  # invalid refs never chosen:
-        assert not np.isin(i[close], [0, 1, 2]).any()
+        assert (~rv[np.arange(rv.shape[0])[:, None], i])[close].sum() == 0
+
+    def test_all_refs_invalid_gives_big(self):
+        from liso_tpu.ops.knn_pallas import nn_1_sorted
+
+        q, qv, r, rv = self._clouds(B=1, Nq=256, Nr=2048)
+        rv[:] = False
+        d, _ = nn_1_sorted(
+            jnp.asarray(q), jnp.asarray(r), jnp.asarray(qv),
+            jnp.asarray(rv), interpret=True,
+        )
+        assert (np.asarray(d) >= 1e8).all()

@@ -49,3 +49,30 @@ def test_slim_experiment_end_to_end(tmp_path):
     exp2.state = exp2.trainer.init_state(jax.random.PRNGKey(1), fs)
     exp2.maybe_restore()
     assert int(exp2.state.step) == 3
+
+
+def test_moving_mask_translating_ego_static_scene_is_all_still():
+    """VERDICT r1 bug 2: the moving/still split must include the odometry
+    translation — a purely translating ego over a static scene must yield
+    an all-still mask (reference eval_ours.py:340-358 semantics)."""
+    from liso_tpu.train.slim_experiment import compute_moving_mask
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-30, 30, (500, 3)).astype(np.float64)
+    odom = np.eye(4)
+    odom[:3, 3] = [1.2, -0.3, 0.05]  # ~1 m/frame ego translation
+    # static scene: GT flow of every point is exactly the rigid ego flow
+    flow_gt = pts @ odom[:3, :3].T + odom[:3, 3] - pts
+    mask = compute_moving_mask(pts, flow_gt, odom, thresh=0.5)
+    assert not mask.any()
+    # and a genuinely moving point is flagged
+    flow_gt[0] += np.array([2.0, 0.0, 0.0])
+    mask = compute_moving_mask(pts, flow_gt, odom, thresh=0.5)
+    assert mask[0] and not mask[1:].any()
+    # rotating ego, static scene: still all-still
+    th = 0.1
+    odom_r = np.eye(4)
+    odom_r[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    odom_r[:3, 3] = [0.8, 0.1, 0.0]
+    flow_r = pts @ odom_r[:3, :3].T + odom_r[:3, 3] - pts
+    assert not compute_moving_mask(pts, flow_r, odom_r, thresh=0.5).any()

@@ -102,11 +102,21 @@ def main(argv=None):
                 for k in ("pos", "dims", "rot", "probs", "velo", "valid")
             }
 
+    family = str(cfg.data.source)
+    class_names = {
+        "kitti": ("Car", "Pedestrian", "Cyclist"),
+        "nuscenes": None,  # wrapper uses the official class table
+        "waymo": ("VEHICLE", "PEDESTRIAN", "CYCLIST"),
+        "av2": ("REGULAR_VEHICLE", "PEDESTRIAN", "BICYCLIST"),
+    }.get(family)
     metrics = run_val(
         iter(loader), predict,
         moving_velocity_thresh=float(
             cfg.validation.obj_is_moving_velocity_thresh
         ),
+        dataset_family=family,
+        movable_class_names=class_names,
+        kitti_annotated_fov_filter=(family == "kitti"),
         max_batches=4 if args.fast_test else None,
     )
     for k in sorted(metrics):

@@ -51,6 +51,12 @@ class HostSample(NamedTuple):
     time_delta_s: float
     gt_boxes: Optional[Dict[str, np.ndarray]] = None  # padded [K_max, .]
     target_boxes: Optional[Dict[str, np.ndarray]] = None  # mined or gt
+    # GT flow is carried alongside the (possibly SLIM-)loaded flow so the
+    # eval path can compute flow EPE against ground truth even when the
+    # sample's flow_t0_t1 is the predicted SLIM flow (eval_ours.py:340-358
+    # reads sample_data["gt"]["flow_ta_tb"] next to the flow source).
+    gt_flow_t0_t1: Optional[np.ndarray] = None  # [N_max, 3]
+    gt_moving_mask: Optional[np.ndarray] = None  # [N_max] point in moving obj
 
 
 def pad_to(arr: np.ndarray, n: int, fill=0.0):
@@ -236,9 +242,12 @@ class LidarDataset:
         )
 
     def _gt_flow(self, content, a, b, pcl, keep):
-        """Rigid ego flow for static scenes; subclasses with real GT flow
-        override. flow key may also be precomputed in the sample dict."""
+        """Real GT object flow when the ETL precomputed it (KITTI tracking
+        writes top-level flow_{a}_{b} from annotated box motion,
+        create_kitti_tracking.py), else rigid ego flow for static scenes."""
         key = f"flow_{a}_{b}"
+        if key in content:
+            return np.asarray(content[key], np.float32)[keep]
         gt = content.get("gt", {})
         if isinstance(gt, dict) and key in gt:
             return np.asarray(gt[key], np.float32)[keep]
@@ -318,6 +327,21 @@ class LidarDataset:
         flow_ab, _ = pad_to(fl_ab.astype(np.float32), self.cfg.n_max)
         flow_ba, _ = pad_to(fl_ba.astype(np.float32), self.cfg.n_max)
 
+        # GT flow + per-point moving mask for the eval flow metrics
+        gt_fl = self._gt_flow(content, a, b, pcl_a_kept, keep_a)
+        gt_flow_ab, _ = pad_to(gt_fl.astype(np.float32), self.cfg.n_max)
+        mm_key = f"moving_mask_{a}"
+        gt_dict = content.get("gt", {})
+        if isinstance(gt_dict, dict) and mm_key in gt_dict:
+            mm = np.asarray(gt_dict[mm_key], bool)[keep_a]
+        else:
+            # derived: GT flow deviates from the rigid ego flow
+            odom_ba_f = np.linalg.inv(self._odom(content, a, b))
+            p = pcl_a_kept[:, :3].astype(np.float64)
+            rigid = (p @ odom_ba_f[:3, :3].T + odom_ba_f[:3, 3]) - p
+            mm = np.linalg.norm(gt_fl - rigid, axis=-1) > 0.05
+        gt_moving, _ = pad_to(mm.astype(bool), self.cfg.n_max)
+
         gt_boxes = self.extract_gt_boxes(content, a)
         if gt_boxes is not None:
             gt_boxes = pad_boxes(gt_boxes, self.cfg.k_max_boxes)
@@ -339,6 +363,8 @@ class LidarDataset:
             time_delta_s=dt,
             gt_boxes=gt_boxes,
             target_boxes=target,
+            gt_flow_t0_t1=gt_flow_ab,
+            gt_moving_mask=gt_moving,
         )
 
 
@@ -359,7 +385,15 @@ def collate(samples: List[HostSample]) -> Dict[str, np.ndarray]:
         "flow_t0_t1": stack(lambda s: s.flow_t0_t1),
         "flow_t1_t0": stack(lambda s: s.flow_t1_t0),
         "time_delta_s": np.asarray([s.time_delta_s for s in samples], np.float32),
+        # full-with-ground t0 cloud: consumed by the KITTI annotated-FoV
+        # prediction filter in run_val (eval_ours.py:386-402) and by the
+        # mining min-points check
+        "pcl_full_w_ground": stack(lambda s: s.frame_t0.pcl_full),
+        "pcl_full_valid": stack(lambda s: s.frame_t0.full_valid),
     }
+    if samples[0].gt_flow_t0_t1 is not None:
+        out["gt_flow_t0_t1"] = stack(lambda s: s.gt_flow_t0_t1)
+        out["gt_moving_mask"] = stack(lambda s: s.gt_moving_mask)
     if samples[0].gt_boxes is not None:
         out["gt_boxes"] = {
             k: stack(lambda s: s.gt_boxes[k]) for k in samples[0].gt_boxes

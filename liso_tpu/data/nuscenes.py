@@ -8,8 +8,10 @@ so mining extrapolates motion x5 to the 2 Hz keyframes
 (liso/tracker/tracking.py:338-348 — here: time_delta_s=0.1 with velocity
 scaling handled by MiningCfg.time_between_frames_s).
 
-The ETL requires the nuscenes-devkit (not in this environment) and is gated;
-the dataset class reads the converted format without it.
+The ETL is devkit-free (liso_tpu.data.create_nuscenes parses the JSON
+tables directly, like the AV2 ETL's pyarrow approach); the dataset class
+reads both the reference `objects` list format and the grouped
+objects_{tk} format.
 """
 from __future__ import annotations
 
@@ -27,10 +29,13 @@ class NuscenesDataset(LidarDataset):
 
     def __init__(self, cfg: DataCfg, root: Path, mode: str = "train", **kw):
         root = Path(root)
-        d = root / self.SUBDIR / mode
-        if not d.exists():
-            d = root / mode if (root / mode).exists() else root
-        files = sorted(d.glob("*.npy"))
+        files = []
+        for d in (root / self.SUBDIR / mode, root / mode,
+                  root / self.SUBDIR, root):
+            if d.exists():
+                files = sorted(d.glob("*.npy"))
+                if files:
+                    break
         if not files:
             raise FileNotFoundError(f"no nuscenes samples under {root}")
         super().__init__(cfg, files, **kw)
@@ -49,25 +54,59 @@ class NuscenesDataset(LidarDataset):
 
     def extract_gt_boxes(self, content: dict, time_key: str):
         gt = content.get("gt", content)
+        # reference ETL format (create.py:442): one `objects` list of dicts
+        # with interpolated pose_t0/t1/t2 (10 Hz between 2 Hz keyframes —
+        # the keyframe-interpolation handling of nuscenes_torch_dataset)
+        objects = gt.get("objects")
+        if objects is not None:
+            objs = list(np.asarray(objects, dtype=object))
+            objs = [o for o in objs if f"pose_{time_key}" in o]
+            if not objs:
+                return None
+            grouped = {
+                "poses": np.stack(
+                    [np.asarray(o[f"pose_{time_key}"]) for o in objs]
+                ),
+                "size": np.stack([np.asarray(o["size"]) for o in objs]),
+                "category": np.asarray([o["category"] for o in objs]),
+            }
+            boxes = _boxes_from_objects(grouped, NUSCENES_MOVABLE_MAP)
+            if boxes is None:
+                return None
+            # speed from the devkit-style box_velocity (global frame; the
+            # norm is frame-independent) for the moving/still AP split
+            velo = []
+            cid = NUSCENES_MOVABLE_MAP.idxs_from_names(
+                [str(o["category"]) for o in objs]
+            )
+            for o, c in zip(objs, cid):
+                if c < 0:
+                    continue
+                v = np.asarray(
+                    o.get("box_velocity", np.full(3, np.nan)), np.float64
+                )
+                velo.append(
+                    0.0 if not np.isfinite(v).all()
+                    else float(np.linalg.norm(v[:2]))
+                )
+            boxes["velo"] = np.asarray(velo, np.float32)[:, None]
+            return boxes
         objects = gt.get(f"objects_{time_key}")
         if objects is None:
             return None
         return _boxes_from_objects(objects, NUSCENES_MOVABLE_MAP)
 
 
-def create_nuscenes(nusc_root, target_dir, version="v1.0-trainval"):
-    """ETL entry (reference datasets/nuscenes/create.py): requires
-    nuscenes-devkit; converts sweeps to the shared npy format with
-    vehicle->KITTI-lidar frame alignment, KISS-ICP odometry and JCP ground
-    labels."""
-    try:
-        from nuscenes.nuscenes import NuScenes  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "nuscenes-devkit is required for the nuScenes ETL; install it "
-            "in your data-prep environment (it is not needed at train time)"
-        ) from e
-    raise NotImplementedError(
-        "run this in a data-prep environment with the devkit; "
-        "see liso_tpu/data/create_kitti.py for the output format"
-    )
+def create_nuscenes(nusc_root, target_dir, version="v1.0-trainval",
+                    splits=None, use_icp=False):
+    """Devkit-free ETL entry (reference datasets/nuscenes/create.py) —
+    parses the JSON tables directly; see liso_tpu.data.create_nuscenes."""
+    from liso_tpu.data.create_nuscenes import main as _main
+
+    argv = ["--nusc_root", str(nusc_root), "--target_dir", str(target_dir),
+            "--version", version]
+    if splits:
+        argv += ["--splits", str(splits)]
+    if use_icp:
+        argv += ["--use_icp"]
+    _main(argv)

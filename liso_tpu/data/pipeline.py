@@ -1,20 +1,41 @@
-"""Host input pipeline: threaded prefetch of collated batches to device.
+"""Host input pipeline: prefetch of collated batches to device.
 
 Replaces the reference's torch DataLoader worker processes
-(SURVEY.md §2.9): a thread pool assembles HostSamples, a background thread
-keeps a small queue of device-resident batches (double buffering), and
-shuffling / epoch handling lives here. Works with any LidarDataset.
+(SURVEY.md §2.9): worker FORK-processes (default, GIL-free like the
+reference's DataLoader workers — thread pools lose to GIL contention at
+AV2 scale, see benchmarks/input_pipeline_bench.py) assemble HostSamples,
+a background thread keeps a small queue of device-resident batches
+(double buffering), and shuffling / epoch handling lives here. Works with
+any LidarDataset. Set use_processes=False for the thread pool (cheap for
+tiny test datasets, avoids fork overhead).
 """
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
 import numpy as np
 
 from liso_tpu.data.dataset import LidarDataset, collate
+
+_WORKER_DS: Optional[LidarDataset] = None
+
+
+def _init_worker(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+    # reseed per worker or every fork replays the same augmentations
+    # (reference worker_init_fn, torch_dataset_commons.py:74)
+    import os
+
+    ds.rng = np.random.RandomState((os.getpid() * 2654435761) % (2**31))
+
+
+def _worker_get(idx: int):
+    return _WORKER_DS[int(idx)]
 
 
 class Prefetcher:
@@ -28,12 +49,35 @@ class Prefetcher:
         seed: int = 0,
         device_put: Optional[Callable] = None,
         drop_last: bool = True,
+        use_processes: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
-        self.pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+        if use_processes is None:
+            # fork workers pay off once sample assembly dominates; tiny
+            # test datasets stay on threads
+            use_processes = num_workers > 1 and getattr(
+                dataset.cfg, "n_max", 0
+            ) >= 16384
+        self.use_processes = use_processes
+        if use_processes:
+            try:
+                ctx = mp.get_context("fork")
+                self.pool = ProcessPoolExecutor(
+                    max_workers=max(num_workers, 1),
+                    mp_context=ctx,
+                    initializer=_init_worker,
+                    initargs=(dataset,),
+                )
+            except (ValueError, OSError):  # fork unavailable
+                self.use_processes = False
+                self.pool = ThreadPoolExecutor(
+                    max_workers=max(num_workers, 1)
+                )
+        else:
+            self.pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
         self.prefetch = prefetch
         self.device_put = device_put or (lambda x: x)
         self.drop_last = drop_last
@@ -56,7 +100,12 @@ class Prefetcher:
                 if stop.is_set():
                     return
                 chunk = idx[b * bs : (b + 1) * bs]
-                samples = list(self.pool.map(self.dataset.__getitem__, chunk))
+                if self.use_processes:
+                    samples = list(self.pool.map(_worker_get, chunk))
+                else:
+                    samples = list(
+                        self.pool.map(self.dataset.__getitem__, chunk)
+                    )
                 batch = collate(samples)
                 q.put(self.device_put(batch))
             q.put(None)

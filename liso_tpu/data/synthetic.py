@@ -156,8 +156,10 @@ class SyntheticSequence:
 
 class SyntheticDataset(LidarDataset):
     def __init__(self, cfg: DataCfg, n_frames: int = 12, seed: int = 0,
-                 augmentation=None, **kw):
-        self.seq = SyntheticSequence(n_frames=n_frames + 2, seed=seed)
+                 augmentation=None, n_points: int = 6000, **kw):
+        self.seq = SyntheticSequence(
+            n_frames=n_frames + 2, seed=seed, n_bg=n_points
+        )
         super().__init__(
             cfg,
             sample_files=[Path(f"synth0_{t:04d}.npy") for t in range(n_frames)],

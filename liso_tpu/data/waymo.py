@@ -48,13 +48,25 @@ class WaymoDataset(LidarDataset):
         objects = gt.get(f"objects_{time_key}")
         if objects is None:
             return None
-        from liso_tpu.data.labels import LabelMap
+        from liso_tpu.data.labels import WAYMO_MOVABLE_MAP
 
-        waymo_map = LabelMap(
-            {"TYPE_VEHICLE": "movable", "TYPE_PEDESTRIAN": "movable",
-             "TYPE_CYCLIST": "movable", "TYPE_SIGN": None}
+        boxes = _boxes_from_objects(objects, WAYMO_MOVABLE_MAP)
+        if boxes is None:
+            return None
+        # create_waymo carries speed + L1/L2 difficulty per box
+        cid = WAYMO_MOVABLE_MAP.idxs_from_names(
+            [str(c) for c in np.asarray(objects["category"]).reshape(-1)]
         )
-        return _boxes_from_objects(objects, waymo_map)
+        keep = cid >= 0
+        if "velo" in objects:
+            boxes["velo"] = np.asarray(
+                objects["velo"], np.float32
+            ).reshape(-1, 1)[keep]
+        if "difficulty" in objects:
+            boxes["difficulty"] = np.asarray(
+                objects["difficulty"], np.float32
+            ).reshape(-1, 1)[keep]
+        return boxes
 
 
 class AV2Dataset(LidarDataset):

@@ -109,9 +109,13 @@ def iou_matrix_host(gt: BoxArr, pred: BoxArr, mode: str) -> np.ndarray:
     return np.asarray(mat)
 
 
-def greedy_match_by_confidence_iou(gt: BoxArr, pred: BoxArr, threshold, mode):
-    """box_groundtruth_matching_iou.py:8-90."""
-    mat = iou_matrix_host(gt, pred, mode)
+def greedy_match_by_confidence_iou(
+    gt: BoxArr, pred: BoxArr, threshold, mode, mat: Optional[np.ndarray] = None
+):
+    """box_groundtruth_matching_iou.py:8-90. `mat` lets callers reuse one
+    precomputed [G, P] IoU matrix across many (bank, threshold) pairs."""
+    if mat is None:
+        mat = iou_matrix_host(gt, pred, mode)
     n_gt, n_pred = mat.shape
     matched_preds = np.zeros(n_pred, bool)
     matched_gts = np.zeros(n_gt, bool)
@@ -129,6 +133,28 @@ def greedy_match_by_confidence_iou(gt: BoxArr, pred: BoxArr, threshold, mode):
             matched_preds[p] = True
     return (np.asarray(idx_gt, np.int64), np.asarray(idx_pred, np.int64),
             matched_preds, matched_gts)
+
+
+def hungarian_match_by_iou(
+    gt: BoxArr, pred: BoxArr, threshold, mode, mat: Optional[np.ndarray] = None
+):
+    """Optimal-assignment IoU matching (reference
+    box_groundtruth_matching_iou.match_boxes_by_descending_confidence_iou
+    with matching_mode="hungarian", used by WaymoObjectDetectionMetrics)."""
+    if mat is None:
+        mat = iou_matrix_host(gt, pred, mode)
+    n_gt, n_pred = mat.shape
+    matched_preds = np.zeros(n_pred, bool)
+    matched_gts = np.zeros(n_gt, bool)
+    if n_gt == 0 or n_pred == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), matched_preds,
+                matched_gts)
+    rows, cols = linear_sum_assignment(-mat)
+    ok = mat[rows, cols] > threshold
+    idx_gt, idx_pred = rows[ok].astype(np.int64), cols[ok].astype(np.int64)
+    matched_gts[idx_gt] = True
+    matched_preds[idx_pred] = True
+    return idx_gt, idx_pred, matched_preds, matched_gts
 
 
 def scale_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -159,7 +185,17 @@ class ObjectDetectionMetrics:
         iou_matching_thresholds: Sequence[float] = (0.25, 0.3, 0.4, 0.5),
         min_eval_range_m: Optional[float] = None,
         max_eval_range_m: Optional[float] = None,
+        filter_detections_by_bev_area_min_max_m: Optional[Sequence[float]] = None,
+        eval_movable_classes_as_one: bool = True,
     ):
+        # [xmin, ymin, xmax, ymax] crop applied to BOTH gt and preds
+        # (reference od_metrics.py:199-267)
+        self.bev_area_min_max = (
+            None
+            if filter_detections_by_bev_area_min_max_m is None
+            else np.asarray(filter_detections_by_bev_area_min_max_m, np.float64)
+        )
+        self.eval_movable_classes_as_one = eval_movable_classes_as_one
         self.moving_velocity_thresh = moving_velocity_thresh
         self.class_names = tuple(class_names)
         self.class_idxs = tuple(class_idxs)
@@ -194,30 +230,53 @@ class ObjectDetectionMetrics:
     def _filter(self, boxes: BoxArr, keep: np.ndarray) -> BoxArr:
         return {k: v[keep] for k, v in boxes.items()}
 
-    def update(self, gt: BoxArr, pred: BoxArr):
+    @staticmethod
+    def _keep_mask(boxes: BoxArr, lo_xy, hi_xy) -> np.ndarray:
+        return np.all(
+            (boxes["pos"][:, :2] >= lo_xy) & (boxes["pos"][:, :2] <= hi_xy),
+            axis=-1,
+        )
+
+    def update(self, gt: BoxArr, pred: BoxArr, iou_cache=None):
         """gt/pred: dicts with pos [K,3], dims, rot, probs, velo (+optional
-        class_id), already valid-only (variable K)."""
+        class_id), already valid-only (variable K). iou_cache: optional
+        {mode: [G, P] IoU matrix} computed on the UNFILTERED inputs — run_val
+        computes each matrix once per sample and shares it across the whole
+        bank matrix (the reference recomputes per bank; same results)."""
+        gi = np.arange(len(gt["pos"]))
+        pi = np.arange(len(pred["pos"]))
+        if self.bev_area_min_max is not None:
+            lo, hi = self.bev_area_min_max[:2], self.bev_area_min_max[2:]
+            kg = self._keep_mask(gt, lo, hi)
+            kp = self._keep_mask(pred, lo, hi)
+            gt, gi = self._filter(gt, kg), gi[kg]
+            pred, pi = self._filter(pred, kp), pi[kp]
         if self.min_eval_range_m is not None:
-            for name, b in (("gt", gt), ("pred", pred)):
+            for is_gt, b in ((True, gt), (False, pred)):
                 rng = np.linalg.norm(b["pos"][:, :2], axis=-1)
                 keep = (self.min_eval_range_m <= rng) & (
                     rng < self.max_eval_range_m
                 )
-                if name == "gt":
-                    gt = self._filter(gt, keep)
+                if is_gt:
+                    gt, gi = self._filter(gt, keep), gi[keep]
                 else:
-                    pred = self._filter(pred, keep)
+                    pred, pi = self._filter(pred, keep), pi[keep]
 
         for ci, cn in zip(self.class_idxs, self.class_names):
             if cn == "overall":
-                g, p = gt, pred
+                g, p, gic, pic = gt, pred, gi, pi
             else:
-                g = self._filter(gt, gt["class_id"][:, 0] == ci)
-                p = self._filter(pred, pred["class_id"][:, 0] == ci)
+                kg = gt["class_id"][:, 0] == ci
+                kp = pred["class_id"][:, 0] == ci
+                g, gic = self._filter(gt, kg), gi[kg]
+                p, pic = self._filter(pred, kp), pi[kp]
+            sub = None
+            if iou_cache is not None and self.criterion in iou_cache:
+                sub = iou_cache[self.criterion][np.ix_(gic, pic)]
             for th in self.thresholds:
-                self._update_one(g, p, th, cn)
+                self._update_one(g, p, th, cn, mat=sub)
 
-    def _match(self, gt: BoxArr, pred: BoxArr, th: float):
+    def _match(self, gt: BoxArr, pred: BoxArr, th: float, mat=None):
         if self.criterion == "dist":
             if self.use_slow_nuscenes_matching:
                 m = greedy_match_by_confidence(
@@ -225,10 +284,12 @@ class ObjectDetectionMetrics:
                 )
                 return m.idxs_gt, m.idxs_pred, m.matched_preds_mask, m.matched_gts_mask
             return hungarian_match_by_dist(gt["pos"], pred["pos"], th)
-        return greedy_match_by_confidence_iou(gt, pred, th, self.criterion)
+        return greedy_match_by_confidence_iou(gt, pred, th, self.criterion, mat=mat)
 
-    def _update_one(self, gt: BoxArr, pred: BoxArr, th: float, cn: str):
-        idx_gt, idx_pred, matched_preds, matched_gts = self._match(gt, pred, th)
+    def _update_one(self, gt: BoxArr, pred: BoxArr, th: float, cn: str, mat=None):
+        idx_gt, idx_pred, matched_preds, matched_gts = self._match(
+            gt, pred, th, mat=mat
+        )
         scores = pred["probs"][:, 0]
         velo = gt.get("velo")
         if velo is None:

@@ -29,6 +29,7 @@ class BoxLearner(nn.Module):
     hid_dim: int = 64
     use_baseline_parameters: bool = True
     compute_dtype: object = None
+    num_decoder_layers: int = 1  # transfusion_net.py:49
 
     @nn.compact
     def __call__(
@@ -58,14 +59,17 @@ class BoxLearner(nn.Module):
                 self.bev,
                 head_channels=self.box_cfg.head_channels(),
                 hid_dim=self.hid_dim,
+                num_decoder_layers=self.num_decoder_layers,
                 name="model",
             )
         else:
             raise NotImplementedError(self.network)
         aux = {}
         if self.network == "transfusion":
-            raw_maps, occ, heatmap = net(points, valid, train=train)
-            aux["heatmap"] = heatmap
+            raw_maps, occ, tf_aux = net(points, valid, train=train)
+            aux["heatmap"] = tf_aux["dense_heatmap"]
+            aux["layer_maps"] = tf_aux["layer_maps"]
+            aux["query_heatmap_score"] = tf_aux["query_heatmap_score"]
         else:
             raw_maps, occ = net(points, valid, train=train)
         aux["occupancy"] = occ

@@ -27,10 +27,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _norm(kind: str, name: str):
+def _norm(kind: str, name: str, dtype=None):
+    # dtype = compute/output dtype (bf16 in mixed precision); flax GroupNorm
+    # always accumulates mean/var in fp32 internally, so only the normalize/
+    # affine arithmetic and — crucially — the HBM round-trip of the
+    # activations drop to bf16 (the norms sit between bf16 convs; emitting
+    # fp32 doubled the bandwidth of every stage boundary).
     if kind == "instance_affine":
         return lambda c: nn.GroupNorm(
-            num_groups=None, group_size=1, epsilon=1e-3, name=name
+            num_groups=None, group_size=1, epsilon=1e-3, dtype=dtype,
+            name=name
         )
     if kind == "instance":
         return lambda c: nn.GroupNorm(
@@ -39,10 +45,12 @@ def _norm(kind: str, name: str):
             epsilon=1e-5,
             use_bias=False,
             use_scale=False,
+            dtype=dtype,
             name=name,
         )
     if kind == "group":
-        return lambda c: nn.GroupNorm(num_groups=c // 8, name=name)
+        return lambda c: nn.GroupNorm(num_groups=c // 8, dtype=dtype,
+                                      name=name)
     if kind == "none":
         return lambda c: (lambda x: x)
     raise ValueError(f"unknown norm {kind}")
@@ -61,13 +69,13 @@ class ResidualBlock(nn.Module):
     def __call__(self, x):
         y = nn.Conv(self.filters, (3, 3), strides=self.stride,
                     dtype=self.dtype, name="conv1")(x)
-        y = nn.relu(_norm(self.norm_fn, "norm1")(self.filters)(y))
+        y = nn.relu(_norm(self.norm_fn, "norm1", self.dtype)(self.filters)(y))
         y = nn.Conv(self.filters, (3, 3), dtype=self.dtype, name="conv2")(y)
-        y = nn.relu(_norm(self.norm_fn, "norm2")(self.filters)(y))
+        y = nn.relu(_norm(self.norm_fn, "norm2", self.dtype)(self.filters)(y))
         if self.stride != 1 or x.shape[-1] != self.filters:
             x = nn.Conv(self.filters, (1, 1), strides=self.stride,
                         dtype=self.dtype, name="down")(x)
-            x = _norm(self.norm_fn, "norm3")(self.filters)(x)
+            x = _norm(self.norm_fn, "norm3", self.dtype)(self.filters)(x)
         return nn.relu(x + y)
 
 
@@ -82,7 +90,7 @@ class SmallEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(32, (7, 7), strides=2, dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(_norm(self.norm_fn, "norm1")(32)(x))
+        x = nn.relu(_norm(self.norm_fn, "norm1", self.dtype)(32)(x))
         x = ResidualBlock(32, 1, self.norm_fn, self.dtype, name="layer1a")(x)
         x = ResidualBlock(32, 1, self.norm_fn, self.dtype, name="layer1b")(x)
         x = ResidualBlock(64, 2, self.norm_fn, self.dtype, name="layer2a")(x)
@@ -173,7 +181,12 @@ def make_corr_lookup(pyramid, radius: int = 3):
     pyramid is padded/cast to bf16 ONCE (prepare_corr_volumes) and each of
     the 6 RAFT iterations runs only the Pallas window kernel; elsewhere the
     jnp gather path is used."""
-    if jax.default_backend() == "tpu":
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("LISO_DISABLE_PALLAS_LOOKUP")
+    ):
         from liso_tpu.ops.corr_lookup_pallas import (
             lookup_prepared, prepare_corr_volumes,
         )

@@ -49,6 +49,7 @@ class DetectorTrainer:
         post_max_boxes: int = 100,
         confidence_threshold: float = 0.3,
         use_baseline_parameters: bool = True,
+        num_decoder_layers: int = 1,
     ):
         self.bev = bev
         self.box_cfg = box_cfg or BoxPredictionCfg()
@@ -57,6 +58,7 @@ class DetectorTrainer:
             box_cfg=self.box_cfg,
             network=network,
             use_baseline_parameters=use_baseline_parameters,
+            num_decoder_layers=num_decoder_layers,
         )
         self.network = network
         self.nms_iou_threshold = nms_iou_threshold
@@ -93,9 +95,16 @@ class DetectorTrainer:
             )
             new_bs = batch_stats
         if self.network == "transfusion":
-            # heatmap focal + hungarian set loss x0.25
-            # (liso_cli.py:548-580, liso_config.yml:570-575)
+            # heatmap focal + PER-LAYER hungarian set loss x0.25: the
+            # reference assigns targets for every decoder layer separately
+            # (auxiliary=True, transfusion_head.py:1248-1284) — each
+            # layer's predictions get their own matching + loss
             from liso_tpu.losses.hungarian_loss import hungarian_matching_loss
+            from liso_tpu.models.box_decode import (
+                apply_activations,
+                decode_box_maps,
+                flatten_to_boxes,
+            )
 
             heatmap = aux["heatmap"]
             grid_hw = heatmap.shape[1:3]
@@ -108,9 +117,22 @@ class DetectorTrainer:
                     ignore_mask,
                 )
             }
-            hung = hungarian_matching_loss(target_boxes, flat)
-            for k, v in hung.items():
-                losses[f"hungarian_{k}"] = 0.25 * v
+            layer_maps = aux.get("layer_maps", None) or (None,)
+            n_layers = len(layer_maps)
+            for li, lm in enumerate(layer_maps):
+                if lm is None:
+                    layer_flat = flat
+                else:
+                    layer_flat = flatten_to_boxes(
+                        decode_box_maps(
+                            apply_activations(lm, self.box_cfg),
+                            self.box_cfg, self.bev,
+                        )
+                    )
+                hung = hungarian_matching_loss(target_boxes, layer_flat)
+                suffix = "" if li == n_layers - 1 else f"_aux{li}"
+                for k, v in hung.items():
+                    losses[f"hungarian_{k}{suffix}"] = 0.25 * v
             losses["total"] = sum(losses.values())
             return losses["total"], (new_bs, losses, flat)
         grid_hw = decoded["probs"].shape[1:3]

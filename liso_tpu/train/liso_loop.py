@@ -263,6 +263,12 @@ class LisoSelfTraining:
                 for k in augm:
                     augm[k].extend(result["augm_db"][k])
             n_seqs += 1
+        if augm is None:
+            # empty worker shard (fewer sequences than workers): degrade to
+            # an empty DB so multi-host mining merges cleanly
+            from liso_tpu.tracker.dbs import empty_augm_db
+
+            augm = empty_augm_db()
         augm = shrink_augm_db(
             augm, float(self.cfg.data.tracking_cfg.max_augm_db_size_mb)
         )

@@ -21,8 +21,11 @@ def test_waymo_metrics_perfect():
     for _ in range(3):
         m.update(gt, gt)
     out = m.compute()
-    assert out["waymo/AP_iou_bev@0.4"] > 0.95
-    assert out["waymo/AP_iou_3d@0.4"] > 0.95
+    # L1/L2 difficulty categories (od_metrics.py:1533-1562); no difficulty
+    # labels here -> both identical
+    assert out["waymo/AP_L2_iou_bev@0.4"] > 0.95
+    assert out["waymo/AP_L2_iou_3d@0.4"] > 0.95
+    assert out["waymo/AP_L1_iou_bev@0.4"] > 0.95
 
 
 def test_waymo_fov_crop():

@@ -304,6 +304,13 @@ class LisoSelfTraining:
         n_boxes = sum(len(v["track_id"]) for v in mined.values())
         w = self.tb("train", "mining/")
         w.add_scalar("num_mined_boxes", n_boxes, self.round_idx)
+        # augm-DB snippet grids (visualize_box_augmentation_database.py)
+        from liso_tpu.visu.augm_db_image import grid_of_snippets
+
+        for pi, page in enumerate(
+            grid_of_snippets(augm, num_boxes=16, per_row=4)
+        ):
+            w.add_image(f"augm_db/snippets_{pi}", page, self.round_idx)
         w.add_scalar("mining_time_s", time.time() - t0, self.round_idx)
         print(
             f"round {self.round_idx}: mined {n_boxes} boxes over {n_seqs} "

@@ -99,3 +99,29 @@ def test_range_image_rendering():
     }
     img2 = draw_boxes_on_range_image(img[0], boxes)
     assert (img2 != img[0]).any()
+
+
+def test_augm_db_visualizer(tmp_path):
+    """visu/visualize_box_augmentation_database.py parity: snippets render
+    into tiled grid pages and log as TB images."""
+    from liso_tpu.visu.augm_db_image import grid_of_snippets, render_box_snippet
+
+    rng = np.random.RandomState(0)
+    db = {"pcl_in_box_cosy": [], "boxes": [], "lidar_rows": [],
+          "box_T_sensor": [], "unique_track_id": []}
+    for i in range(10):
+        pts = rng.uniform(-1.5, 1.5, (60, 4)).astype(np.float32)
+        db["pcl_in_box_cosy"].append(pts)
+        db["boxes"].append({"dims": np.array([4.0, 2.0, 1.5]),
+                            "pos": np.zeros(3), "rot": np.zeros(1)})
+    img = render_box_snippet(db["pcl_in_box_cosy"][0],
+                             db["boxes"][0]["dims"])
+    assert img.shape == (96, 96, 3) and img.max() > 0
+    pages = grid_of_snippets(db, num_boxes=10, per_row=4)
+    assert len(pages) == 1
+    assert pages[0].shape == (96 * 3, 96 * 4, 3)
+    # green box rectangle present
+    assert (pages[0][..., 1] == 255).any()
+    # empty DB degrades to no pages
+    empty = {"pcl_in_box_cosy": [], "boxes": []}
+    assert grid_of_snippets(empty) == []

@@ -85,3 +85,61 @@ def test_transfusion_forward_and_train_step():
     pred = trainer.predict_step(state, points, valid)
     assert pred.pos.shape[1] <= 200
     assert np.isfinite(np.asarray(pred.pos)).all()
+
+
+def test_decoder_layer_attention_signature_golden():
+    """VERDICT r1 weak 8: the (query, key, value) POSITIONAL semantics of
+    nn.MultiHeadDotProductAttention in DecoderLayer — verify against a
+    hand-computed single-head attention with the same parameters that
+    cross-attention scores use position-embedded q/k while VALUES are the
+    raw (un-embedded) key tokens."""
+    from liso_tpu.models.transfusion import DecoderLayer
+
+    d = 8
+    layer = DecoderLayer(d_model=d, nhead=1, ffn=16)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 3, d).astype(np.float32))
+    qe = jnp.asarray(rng.randn(1, 3, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 5, d).astype(np.float32))
+    ke = jnp.asarray(rng.randn(1, 5, d).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), q, qe, k, ke)
+
+    out = layer.apply(params, q, qe, k, ke)
+
+    def manual_attn(p, xq, xk, xv):
+        def proj(name, x):
+            w = p[name]["kernel"]  # [d, heads, head_dim]
+            b = p[name]["bias"]
+            return jnp.einsum("bnd,dhf->bnhf", x, w) + b
+
+        qh = proj("query", xq)
+        kh = proj("key", xk)
+        vh = proj("value", xv)
+        scores = jnp.einsum("bqhf,bkhf->bhqk", qh, kh) / np.sqrt(
+            qh.shape[-1]
+        )
+        att = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhqk,bkhf->bqhf", att, vh)
+        wo = p["out"]["kernel"]  # [heads, head_dim, d]
+        return jnp.einsum("bqhf,hfd->bqd", o, wo) + p["out"]["bias"]
+
+    p = params["params"]
+    # replicate the layer: self-attn(q+qe, q+qe, q) ...
+    sa = manual_attn(p["self_attn"], q + qe, q + qe, q)
+    x = _ln(p["norm1"], q + sa)
+    # ... cross-attn(x+qe, k+ke, k): values = RAW key tokens
+    ca = manual_attn(p["cross_attn"], x + qe, k + ke, k)
+    x = _ln(p["norm2"], x + ca)
+    h = jnp.maximum(
+        x @ p["ffn1"]["kernel"] + p["ffn1"]["bias"], 0.0
+    )
+    h = h @ p["ffn2"]["kernel"] + p["ffn2"]["bias"]
+    expect = _ln(p["norm3"], x + h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-4, atol=2e-5)
+
+
+def _ln(p, x, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]

@@ -101,6 +101,39 @@ class SmallEncoder(nn.Module):
         return x.astype(jnp.float32)
 
 
+class JointEncoder(nn.Module):
+    """fnet + cnet fused into ONE residual tower with two 1x1 output heads.
+
+    TPU-first redesign (not in the reference, which runs twin SmallEncoder
+    towers, extractor.py:211): on this hardware conv cost at the encoder
+    resolutions is dominated by per-op overhead, not FLOPs — so running
+    2x26 narrow convs costs ~2x one 26-conv tower of comparable width.
+    The shared trunk carries the union capacity (48/96/144 vs 2x 32/64/96)
+    and the fmap/context splits are cheap 1x1 heads. RAFT(joint_encoders=
+    False) restores the reference twin-tower layout exactly."""
+
+    fmap_dim: int = 128
+    ctx_dim: int = 160  # hidden_dim + context_dim
+    norm_fn: str = "instance_affine"
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(48, (7, 7), strides=2, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(_norm(self.norm_fn, "norm1", self.dtype)(48)(x))
+        x = ResidualBlock(48, 1, self.norm_fn, self.dtype, name="layer1a")(x)
+        x = ResidualBlock(48, 1, self.norm_fn, self.dtype, name="layer1b")(x)
+        x = ResidualBlock(96, 2, self.norm_fn, self.dtype, name="layer2a")(x)
+        x = ResidualBlock(96, 1, self.norm_fn, self.dtype, name="layer2b")(x)
+        x = ResidualBlock(144, 2, self.norm_fn, self.dtype, name="layer3a")(x)
+        x = ResidualBlock(144, 1, self.norm_fn, self.dtype, name="layer3b")(x)
+        fmap = nn.Conv(
+            self.fmap_dim, (1, 1), dtype=self.dtype, name="fmap_head"
+        )(x)
+        ctx = nn.Conv(self.ctx_dim, (1, 1), dtype=self.dtype, name="ctx_head")(x)
+        return fmap.astype(jnp.float32), ctx.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Correlation pyramid (raft_code/corr.py rebuilt)
 # ---------------------------------------------------------------------------
@@ -212,12 +245,14 @@ class ConvGRU(nn.Module):
     @nn.compact
     def __call__(self, h, x):
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(
-            nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="convz")(hx)
-        )
-        r = jax.nn.sigmoid(
-            nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="convr")(hx)
-        )
+        # z and r gates share the input: ONE conv with 2x hidden outputs
+        # (exact concatenated-weight equivalent of separate convz/convr;
+        # conv cost here is per-op-overhead-bound, see docs/STATUS.md)
+        zr = nn.Conv(
+            2 * self.hidden_dim, (3, 3), dtype=self.dtype, name="convzr"
+        )(hx)
+        z = jax.nn.sigmoid(zr[..., : self.hidden_dim])
+        r = jax.nn.sigmoid(zr[..., self.hidden_dim :])
         q = jnp.tanh(
             nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="convq")(
                 jnp.concatenate([r * h, x], axis=-1)
@@ -239,8 +274,16 @@ class FlowClsHead(nn.Module):
         x = nn.relu(
             nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="conv1")(x)
         )
+        # small-variance init on the prediction conv: iterations start
+        # near-identity (tiny deltas), so the first optimizer steps see an
+        # almost-zero-flow loss surface instead of random-flow noise —
+        # stabilizes the warmup transient. NOT exactly zero: with the
+        # outlier-dropping kNN loss, an exact zero-flow start is a local
+        # basin where moving objects past the drop margin produce no
+        # gradient at all (verified on a synthetic moving-cluster scene).
         return nn.Conv(
-            self.out_dims, (3, 3), dtype=self.dtype, name="conv2"
+            self.out_dims, (3, 3), dtype=self.dtype, name="conv2",
+            kernel_init=nn.initializers.normal(1e-2),
         )(x).astype(jnp.float32)
 
 
@@ -255,19 +298,33 @@ class SmallMotionEncoder(nn.Module):
     def __call__(self, flow, corr, logits):
         dt = self.dtype
         c = nn.relu(nn.Conv(96, (1, 1), dtype=dt, name="conv_stat_corr1")(corr))
-        f = nn.relu(nn.Conv(64, (7, 7), dtype=dt, name="conv_flow1")(flow))
-        f = nn.relu(nn.Conv(32, (3, 3), dtype=dt, name="conv_flow2")(f))
-        cat = [c, f]
-        if self.predict_logits:
-            lg = nn.relu(nn.Conv(64, (7, 7), dtype=dt, name="conv_class1")(logits))
-            lg = nn.relu(nn.Conv(32, (3, 3), dtype=dt, name="conv_class2")(lg))
-            cat.append(lg)
-        out = nn.relu(
-            nn.Conv(80, (3, 3), dtype=dt, name="conv")(jnp.concatenate(cat, -1))
+        if not self.predict_logits:
+            f = nn.relu(nn.Conv(64, (7, 7), dtype=dt, name="conv_flow1")(flow))
+            f = nn.relu(nn.Conv(32, (3, 3), dtype=dt, name="conv_flow2")(f))
+            out = nn.relu(
+                nn.Conv(80, (3, 3), dtype=dt, name="conv")(
+                    jnp.concatenate([c, f], -1)
+                )
+            )
+            return jnp.concatenate([out, f], axis=-1)
+        # flow and logits branches fused: one 7x7 + one 3x3 over the
+        # concatenated (flow ++ logits) input instead of twin towers —
+        # the branches only ever feed a concat, and conv cost here is
+        # per-op-overhead-bound (TPU-first redesign of update.py:96-128;
+        # cross-mixing between the branches is additional capacity, not
+        # a restriction)
+        fl = nn.relu(
+            nn.Conv(128, (7, 7), dtype=dt, name="conv_flowcls1")(
+                jnp.concatenate([flow, logits], -1)
+            )
         )
-        if self.predict_logits:
-            return jnp.concatenate([out, lg, f], axis=-1)
-        return jnp.concatenate([out, f], axis=-1)
+        fl = nn.relu(nn.Conv(64, (3, 3), dtype=dt, name="conv_flowcls2")(fl))
+        out = nn.relu(
+            nn.Conv(80, (3, 3), dtype=dt, name="conv")(
+                jnp.concatenate([c, fl], -1)
+            )
+        )
+        return jnp.concatenate([out, fl], axis=-1)
 
 
 class SmallUpdateBlock(nn.Module):
@@ -292,18 +349,40 @@ class SmallUpdateBlock(nn.Module):
         net = ConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(net, x)
 
         n_flow_out = 3 if self.predict_weight_for_static_aggregation else 2
-        delta = FlowClsHead(
-            128, n_flow_out, dtype=self.dtype, name="static_flow_head"
-        )(net)
-        delta_flow = delta[..., :2]
-        delta_weights = (
-            delta[..., -1:] if self.predict_weight_for_static_aggregation else None
+        if not self.predict_logits:
+            delta = FlowClsHead(
+                128, n_flow_out, dtype=self.dtype, name="static_flow_head"
+            )(net)
+            delta_flow = delta[..., :2]
+            delta_weights = (
+                delta[..., -1:]
+                if self.predict_weight_for_static_aggregation
+                else None
+            )
+            return net, delta_flow, None, delta_weights
+        # flow + classification heads fused: both consume `net`, so the two
+        # hidden convs concatenate into one (exact) and the two output
+        # convs become ONE grouped conv (feature_group_count=2 keeps each
+        # head reading only its own hidden half — exact equivalent of the
+        # reference's separate FlowOrClassificationHeads, update.py:96)
+        h = nn.relu(
+            nn.Conv(256, (3, 3), dtype=self.dtype, name="heads_conv1")(net)
         )
-        delta_logits = (
-            FlowClsHead(128, 4, dtype=self.dtype, name="classification_head")(net)
-            if self.predict_logits
+        out_per_group = max(n_flow_out, 4)
+        # small-variance init (see FlowClsHead.conv2): near-identity start
+        delta = nn.Conv(
+            2 * out_per_group, (3, 3), feature_group_count=2,
+            dtype=self.dtype, name="heads_conv2",
+            kernel_init=nn.initializers.normal(1e-2),
+        )(h).astype(jnp.float32)
+        flow_part = delta[..., :out_per_group]
+        delta_flow = flow_part[..., :2]
+        delta_weights = (
+            flow_part[..., 2:3]
+            if self.predict_weight_for_static_aggregation
             else None
         )
+        delta_logits = delta[..., out_per_group : out_per_group + 4]
         return net, delta_flow, delta_logits, delta_weights
 
 
@@ -349,15 +428,25 @@ class RAFT(nn.Module):
     fnet_norm: str = "instance_affine"
     predict_logits: bool = True
     predict_weight_for_static_aggregation: bool = False
+    joint_encoders: bool = True  # one shared tower (TPU-first); False =
+    # reference twin fnet/cnet towers
     dtype: object = None  # set jnp.bfloat16 for mixed-precision compute
 
     def setup(self):
-        self.fnet = SmallEncoder(
-            self.corr_feature_dim, self.fnet_norm, self.dtype
-        )
-        self.cnet = SmallEncoder(
-            self.hidden_dim + self.context_dim, "none", self.dtype
-        )
+        if self.joint_encoders:
+            self.joint = JointEncoder(
+                self.corr_feature_dim,
+                self.hidden_dim + self.context_dim,
+                self.fnet_norm,
+                self.dtype,
+            )
+        else:
+            self.fnet = SmallEncoder(
+                self.corr_feature_dim, self.fnet_norm, self.dtype
+            )
+            self.cnet = SmallEncoder(
+                self.hidden_dim + self.context_dim, "none", self.dtype
+            )
         self.update_block = SmallUpdateBlock(
             self.hidden_dim,
             self.predict_logits,
@@ -368,13 +457,15 @@ class RAFT(nn.Module):
     def encode(self, img: jnp.ndarray):
         """Per-frame features (streaming deployments cache these so each
         new frame is encoded exactly once)."""
+        if self.joint_encoders:
+            return self.joint(img)
         return self.fnet(img), self.cnet(img)
 
     def __call__(
         self, img0: jnp.ndarray, img1: jnp.ndarray, upsample_all: bool = True
     ):
         fmap0, cn0 = self.encode(img0)
-        fmap1 = self.fnet(img1)
+        fmap1 = self.encode(img1)[0]
         return self.flow_from_features(
             fmap0, cn0, fmap1, upsample_all=upsample_all
         )

@@ -5,11 +5,12 @@ update.py:23-164, raft_code/corr.py:6-56, raft_code/utils.py:5-47}. Design
 deltas for TPU:
 
   * channels-last [B, H, W, C] end to end (no NCHW permutes);
-  * the all-pairs correlation volume is built with one batched MXU matmul and
-    kept as a 4-level average-pool pyramid; on TPU the volume is padded/cast
-    to bf16 once per flow pass and per-iteration window lookups run a fused
-    Pallas kernel (ops/corr_lookup_pallas.py); elsewhere they are 49
-    bilinear gathers per level (radius 3) via vmap, not grid_sample;
+  * the correlation pyramid is built as one batched MXU matmul per level
+    against a 2x2-pooled fmap1 (linear in fmap1 == the reference's volume
+    pooling, without streaming the 268 MB volume); on TPU the volume is cast
+    to bf16 once per flow pass and per-iteration window lookups run as
+    batched one-hot MXU matmuls (ops/corr_lookup_mm.py); elsewhere they are
+    contiguous-window bilinear gathers per level (radius 3), not grid_sample;
   * coords use a single (row, col) pixel convention; the reference flips
     between (x, y) RAFT convention and (row, col) "usfl" convention at the
     boundary (raft_mod.change_flow_convention_from_raft2usfl) — here flow is
@@ -142,25 +143,30 @@ def build_corr_pyramid(
 ) -> Tuple[jnp.ndarray, ...]:
     """fmap* [B, H, W, C] -> tuple of [B, H*W, Hk, Wk] volumes.
 
-    Level 0 is the full all-pairs correlation <f0_i, f1_j>/sqrt(C) computed as
-    one [B, HW, C] x [B, C, HW] MXU matmul; deeper levels 2x2-average-pool the
-    target dims (corr is linear in fmap1, so pooling corr == corr with pooled
-    fmap1 — we pool the volume like the reference does)."""
+    Every level is one [B, HW, C] x [B, C, HkWk] MXU matmul of f0 against a
+    2x2-average-pooled fmap1: corr is LINEAR in fmap1, so pooling fmap1
+    (4 MB) before correlating equals the reference's pooling of the corr
+    volume (268 MB at 512 grid — a 35 ms reduce-window chain on TPU)."""
     b, h, w, c = fmap0.shape
     f0 = fmap0.reshape(b, h * w, c)
-    f1 = fmap1.reshape(b, h * w, c)
-    corr = jnp.einsum(
-        "bnc,bmc->bnm", f0, f1, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
-    corr = corr.reshape(b, h * w, h, w)
-    pyramid = [corr]
-    for _ in range(num_levels - 1):
-        if min(corr.shape[-2:]) < 2:
+    scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+    pyramid = []
+    f1l = fmap1
+    for lvl in range(num_levels):
+        hk, wk = f1l.shape[1:3]
+        corr = (
+            jnp.einsum(
+                "bnc,bmc->bnm",
+                f0,
+                f1l.reshape(b, hk * wk, c),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        pyramid.append(corr.reshape(b, h * w, hk, wk))
+        if min(hk, wk) < 4:
             break  # tiny test grids: deeper levels would be empty
-        corr = nn.avg_pool(
-            corr[..., None], window_shape=(2, 2), strides=(2, 2)
-        )[..., 0]
-        pyramid.append(corr)
+        f1l = nn.avg_pool(f1l, window_shape=(2, 2), strides=(2, 2))
     return tuple(pyramid)
 
 
@@ -211,21 +217,22 @@ def lookup_corr(
 
 def make_corr_lookup(pyramid, radius: int = 3):
     """Returns a coords -> [B, H, W, L*49] lookup closure. On TPU the
-    pyramid is padded/cast to bf16 ONCE (prepare_corr_volumes) and each of
-    the 6 RAFT iterations runs only the Pallas window kernel; elsewhere the
-    jnp gather path is used."""
+    pyramid is cast to bf16 ONCE and each of the 6 RAFT iterations selects
+    its windows with batched one-hot MXU matmuls (ops/corr_lookup_mm) —
+    exact lookup_corr semantics, no gathers fwd or bwd; elsewhere the jnp
+    gather path is used."""
     import os
 
     if (
         jax.default_backend() == "tpu"
         and not os.environ.get("LISO_DISABLE_PALLAS_LOOKUP")
     ):
-        from liso_tpu.ops.corr_lookup_pallas import (
-            lookup_prepared, prepare_corr_volumes,
+        from liso_tpu.ops.corr_lookup_mm import (
+            lookup_prepared_mm, prepare_corr_volumes_mm,
         )
 
-        prepared = prepare_corr_volumes(pyramid, radius)
-        return lambda coords: lookup_prepared(prepared, coords, radius)
+        prepared = prepare_corr_volumes_mm(pyramid, radius)
+        return lambda coords: lookup_prepared_mm(prepared, coords, radius)
     return lambda coords: lookup_corr(pyramid, coords, radius)
 
 

@@ -244,3 +244,89 @@ class TestKnnPallas:
             jnp.asarray(rv), interpret=True,
         )
         assert (np.asarray(d) >= 1e8).all()
+
+
+class TestCorrLookupMM:
+    """The TPU correlation lookup (ops/corr_lookup_mm.py) selects windows
+    with one-hot MXU matmuls; one-hot selection of bf16 values is lossless,
+    so on a bf16-quantized pyramid it must be (near) bit-identical to the
+    gather-based models/raft.lookup_corr — for all coords, including far
+    out-of-bounds (the per-tap clipping is folded into the selectors)."""
+
+    def _pyramid_coords(self, B=2, H=12, W=16, C=32, seed=7):
+        from liso_tpu.models.raft import build_corr_pyramid
+
+        rng = np.random.RandomState(seed)
+        f0 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        pyr = build_corr_pyramid(f0, f1, num_levels=3)
+        # coords spanning in-bounds, edges, and far out-of-bounds
+        coords = rng.uniform(-10.0, H + 10.0, (B, H, W, 2)).astype(np.float32)
+        coords[..., 1] = rng.uniform(-10.0, W + 10.0, (B, H, W)).astype(
+            np.float32
+        )
+        return pyr, jnp.asarray(coords)
+
+    def test_mm_lookup_matches_gather_on_bf16_pyramid(self):
+        from liso_tpu.models.raft import lookup_corr
+        from liso_tpu.ops.corr_lookup_mm import (
+            lookup_prepared_mm, prepare_corr_volumes_mm,
+        )
+
+        pyr, coords = self._pyramid_coords()
+        prepared = prepare_corr_volumes_mm(pyr, radius=3)
+        got = lookup_prepared_mm(prepared, coords, radius=3)
+        want = lookup_corr(
+            tuple(v.astype(jnp.float32) for v in prepared), coords, radius=3
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-6)
+
+    def test_mm_lookup_volume_grad_matches_gather_grad(self):
+        from liso_tpu.models.raft import lookup_corr
+        from liso_tpu.ops.corr_lookup_mm import lookup_prepared_mm
+
+        pyr, coords = self._pyramid_coords(B=1, H=8, W=8, C=16)
+        pyr32 = tuple(v.astype(jnp.bfloat16).astype(jnp.float32) for v in pyr)
+
+        def loss_mm(vols):
+            vols16 = tuple(v.astype(jnp.bfloat16) for v in vols)
+            return jnp.sum(lookup_prepared_mm(vols16, coords) ** 2)
+
+        def loss_g(vols):
+            return jnp.sum(lookup_corr(vols, coords) ** 2)
+
+        g_mm = jax.grad(loss_mm)(pyr32)
+        g_g = jax.grad(loss_g)(pyr32)
+        for a, b in zip(g_mm, g_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-2, atol=1e-2)
+
+    def test_pooled_fmap_pyramid_equals_pooled_volume(self):
+        """corr is linear in fmap1: pooling fmap1 before the matmul must
+        equal the reference's 2x2 average pooling of the corr volume
+        (liso/slim/model/raft_code/corr.py:30-35)."""
+        import flax.linen as fnn
+
+        from liso_tpu.models.raft import build_corr_pyramid
+
+        rng = np.random.RandomState(11)
+        B, H, W, C = 2, 8, 8, 16
+        f0 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        pyr = build_corr_pyramid(f0, f1, num_levels=3)
+        # reference formulation: pool the level-0 volume's target dims
+        lvl0 = pyr[0]  # [B, HW, H, W]
+        want1 = fnn.avg_pool(
+            lvl0[..., None], window_shape=(2, 2), strides=(2, 2)
+        )[..., 0]
+        np.testing.assert_allclose(
+            np.asarray(pyr[1]), np.asarray(want1), rtol=1e-5, atol=1e-5
+        )
+        want2 = fnn.avg_pool(
+            want1[..., None], window_shape=(2, 2), strides=(2, 2)
+        )[..., 0]
+        np.testing.assert_allclose(
+            np.asarray(pyr[2]), np.asarray(want2), rtol=1e-5, atol=1e-5
+        )

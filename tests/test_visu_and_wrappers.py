@@ -125,3 +125,73 @@ def test_augm_db_visualizer(tmp_path):
     # empty DB degrades to no pages
     empty = {"pcl_in_box_cosy": [], "boxes": []}
     assert grid_of_snippets(empty) == []
+
+
+def test_pcl_image_helpers():
+    """liso_tpu/visu/pcl_image.py vs hand-computed pixels (reference
+    pcl_image.py:7-157 semantics incl. the 1 cm extent epsilon and the
+    isotropic non-square scale)."""
+    from liso_tpu.visu.pcl_image import (
+        create_occupancy_pcl_image,
+        create_topdown_f32_pcl_image_variable_extent,
+        get_linear_bev_idx,
+        pillarize_pointcloud,
+        project_2d_pcl_to_rowcol_nonsquare_bev_range,
+    )
+
+    bev = np.array([8.0, 8.0], np.float32)
+    res = np.array([8, 8], np.int32)
+    pts = np.array(
+        [[-4.0, -4.0], [0.0, 0.0], [3.999, 3.999], [100.0, -100.0]],
+        np.float32,
+    )
+    rc = pillarize_pointcloud(pts, bev, res)
+    assert rc.tolist() == [[0, 0], [4, 4], [7, 7], [7, 0]]  # clipped corner
+
+    occ = create_occupancy_pcl_image(pts, bev, res)
+    assert occ.shape == (8, 8, 1)
+    assert occ[0, 0, 0] == 1.0 and occ[4, 4, 0] == 1.0
+    assert occ.sum() == 4.0  # clipped point lands on (7,0)
+
+    # non-square extent: isotropic scale = min factor
+    cmin = np.array([0.0, 0.0], np.float32)
+    cmax = np.array([10.0, 20.0], np.float32)
+    grid = np.array([10, 20], np.int32)
+    rc_f = project_2d_pcl_to_rowcol_nonsquare_bev_range(
+        np.array([[5.0, 10.0]], np.float32), cmin, cmax, grid
+    )
+    assert np.allclose(rc_f, [[5.0, 10.0]])  # both factors are 1 px/m
+
+    pcl4 = np.array(
+        [
+            [1.5, 2.5, 0.0, 0.0],
+            [1.5, 2.5, 0.0, 0.0],  # same pixel, lower intensity
+            [0.005, 5.0, 0.0, 0.0],  # inside epsilon shrink -> dropped
+            [9.5, 19.5, 0.0, 0.0],
+        ],
+        np.float32,
+    )
+    inten = np.array([0.9, 0.4, 1.0, 0.2], np.float32)
+    inside, lin = get_linear_bev_idx(pcl4, cmin, cmax, grid)
+    assert inside.tolist() == [True, True, False, True]
+    img, occ2 = create_topdown_f32_pcl_image_variable_extent(
+        pcl4, inten, cmin, cmax, grid
+    )
+    assert img.shape == (10, 20) and occ2.shape == (10, 20)
+    assert img[1, 2] == 0.9  # max of the colliding pair (deterministic)
+    assert occ2[1, 2] and occ2[9, 19]
+    assert occ2.sum() == 2
+
+
+def test_visu_utils_cmap_and_batches():
+    from liso_tpu.visu.pcl_image import apply_cmap, limit_visu_image_batches
+
+    img = np.zeros((12, 4, 4, 3), np.float32)
+    assert limit_visu_image_batches(img).shape[0] == 8
+    assert limit_visu_image_batches(img[:3]).shape[0] == 3
+
+    rgba = apply_cmap(np.linspace(-3, 5, 16).reshape(4, 4))
+    assert rgba.shape == (4, 4, 4)
+    assert rgba.min() >= 0.0 and rgba.max() <= 1.0
+    flat = apply_cmap(np.zeros((4, 4)))  # ptp == 0 guard
+    assert np.isfinite(flat).all()

@@ -1,0 +1,177 @@
+"""MFU / bandwidth accounting for the two headline workloads.
+
+For (a) the fused streaming flow+detect forward (bench.py's metric) and
+(b) the SLIM train step (fwd+bwd, batch 2), this reports:
+
+  * compiled FLOPs + bytes accessed from XLA cost analysis,
+  * measured wall time (chained iterations inside one jit, like bench.py),
+  * MFU vs the chip's bf16 peak and achieved HBM bandwidth.
+
+Peaks default to v5e spec (197 TF/s bf16, 819 GB/s HBM) and can be
+overridden for the virtualized environment, whose measured envelope is
+~170 TF/s / ~157 GB/s (docs/STATUS.md round-2 findings):
+
+    python benchmarks/mfu_bench.py --peak-tf 170 --peak-gbs 157
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _time_chained(fn, args, iters):
+    import jax
+
+    jax.block_until_ready(fn(*args))  # compile+warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_fused_forward(grid, n_pts, batch, iters, on_tpu):
+    import jax
+    import jax.numpy as jnp
+
+    from liso_tpu.models.box_learner import BoxLearner
+    from liso_tpu.models.slim import SlimModel
+    from liso_tpu.ops.bev import BevSetup
+
+    bev = BevSetup(bev_range_m=(100.0, 100.0), grid_size=(grid, grid))
+    dtype = jnp.bfloat16 if on_tpu else None
+    slim = SlimModel(bev=bev, num_iters=6, compute_dtype=dtype)
+    det = BoxLearner(
+        bev, network="centerpoint", use_baseline_parameters=True,
+        compute_dtype=dtype,
+    )
+    rng = np.random.RandomState(0)
+    pts0 = jnp.asarray(rng.uniform(-45, 45, (batch, n_pts, 4)).astype(np.float32))
+    pts1 = jnp.asarray(rng.uniform(-45, 45, (batch, n_pts, 4)).astype(np.float32))
+    valid = jnp.ones((batch, n_pts), bool)
+    key = jax.random.PRNGKey(0)
+    slim_vars = jax.jit(slim.init)(key, pts0, valid, pts1, valid)
+    det_vars = jax.jit(det.init)(key, pts0, valid)
+
+    SM = type(slim)
+
+    def step(fmap_prev, cn_prev, pts, vld):
+        fmap, cn, _ = slim.apply(slim_vars, pts, vld, method=SM.encode_frame)
+        out = slim.apply(
+            slim_vars, fmap_prev, cn_prev, fmap, method=SM.flow_from_features
+        )
+        boxes, _, _, _ = det.apply(det_vars, pts, vld)
+        return fmap, cn, out[-1][..., 4:6], boxes.pos, boxes.probs
+
+    @jax.jit
+    def run(pts0, valid0, pts1, valid1):
+        fmap0, cn0, _ = slim.apply(
+            slim_vars, pts0, valid0, method=SM.encode_frame
+        )
+
+        def body(_, carry):
+            fmap_prev, cn_prev, x = carry
+            fmap, cn, flow, pos, probs = step(fmap_prev, cn_prev, x, valid1)
+            x_next = pts1 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
+            return fmap, cn, x_next
+
+        _, _, x = jax.lax.fori_loop(0, iters, body, (fmap0, cn0, pts1))
+        return x
+
+    compiled = run.lower(pts0, valid, pts1, valid).compile()
+    flops, bytes_ = _cost(compiled)
+    dt = _time_chained(run, (pts0, valid, pts1, valid), iters)
+    return flops / iters, bytes_ / iters, dt
+
+
+def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
+    import jax
+    import jax.numpy as jnp
+
+    from liso_tpu.data.sample import FlowSample, PointCloud
+    from liso_tpu.ops.bev import BevSetup
+    from liso_tpu.train.slim_train import SlimTrainer
+
+    bev = BevSetup(bev_range_m=(100.0, 100.0), grid_size=(grid, grid))
+    trainer = SlimTrainer(
+        bev,
+        num_iters=6,
+        predict_weight_for_static_aggregation="sigmoid",
+        use_static_aggr_flow_for_aggr_flow=True,
+    )
+    rng = np.random.RandomState(0)
+    mk = lambda: PointCloud(
+        pcl=jnp.asarray(
+            rng.uniform(-45, 45, (batch, n_pts, 4)).astype(np.float32)
+        ),
+        valid=jnp.ones((batch, n_pts), bool),
+    )
+    eye = jnp.tile(jnp.eye(4)[None], (batch, 1, 1))
+    sample = FlowSample(pcl_t0=mk(), pcl_t1=mk(), odom_t0_t1=eye, odom_t1_t0=eye)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+
+    @jax.jit
+    def run(state, sample):
+        def body(_, st):
+            st, _ = trainer.train_step(st, sample)
+            return st
+
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    compiled = run.lower(state, sample).compile()
+    flops, bytes_ = _cost(compiled)
+    dt = _time_chained(run, (state, sample), iters)
+    return flops / iters, bytes_ / iters, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--peak-tf", type=float, default=197.0,
+                    help="bf16 peak TFLOP/s (v5e spec 197)")
+    ap.add_argument("--peak-gbs", type=float, default=819.0,
+                    help="HBM peak GB/s (v5e spec 819)")
+    ap.add_argument("--grid", type=int, default=0)
+    ap.add_argument("--iters", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        grid, n_pts, fb, tb, iters = 512, 32768, 8, 2, 10
+    else:
+        grid, n_pts, fb, tb, iters = 128, 4096, 1, 1, 2
+    if args.grid:
+        grid = args.grid
+    if args.iters:
+        iters = args.iters
+
+    rows = []
+    f, b, dt = bench_fused_forward(grid, n_pts, fb, iters, on_tpu)
+    rows.append(("fused fwd (flow+detect)", fb, f, b, dt))
+    f, b, dt = bench_slim_train(grid, n_pts, tb, iters, on_tpu)
+    rows.append(("slim train step (fwd+bwd)", tb, f, b, dt))
+
+    print(
+        f"{'workload':<28}{'batch':>6}{'GFLOP':>10}{'GB':>8}{'ms':>9}"
+        f"{'TF/s':>8}{'MFU%':>7}{'GB/s':>8}{'HBM%':>7}"
+    )
+    for name, bsz, flops, bytes_, dt in rows:
+        tfs = flops / dt / 1e12
+        gbs = bytes_ / dt / 1e9
+        print(
+            f"{name:<28}{bsz:>6}{flops / 1e9:>10.1f}{bytes_ / 1e9:>8.2f}"
+            f"{dt * 1e3:>9.1f}{tfs:>8.1f}{100 * tfs / args.peak_tf:>7.1f}"
+            f"{gbs:>8.1f}{100 * gbs / args.peak_gbs:>7.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

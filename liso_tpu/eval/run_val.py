@@ -275,13 +275,20 @@ def run_val(
     min_pts_in_annotated_fov: int = 10,
     predict_flow: Optional[Callable[[dict], np.ndarray]] = None,
     seed: int = 0,
+    writer=None,
+    log_images_num_batches: int = 0,
+    bev_range_m=(100.0, 100.0),
+    global_step: int = 0,
 ) -> Dict[str, float]:
     """predict_boxes(batch) -> batched padded box dict (with 'valid').
     Batches must carry 'gt_boxes' (+ optionally 'gt_boxes_benchmark',
     'gt_flow_t0_t1'/'gt_moving_mask', 'pcl_full_w_ground'). With
     kitti_annotated_fov_filter, predictions outside the labeled camera FoV
     are dropped using the full-with-ground cloud, mirroring
-    eval_ours.py:386-402 for KITTI tracking/object datasets."""
+    eval_ours.py:386-402 for KITTI tracking/object datasets. With a
+    `writer`, the first `log_images_num_batches` batches are rendered as
+    pred-vs-GT BEV panels (the reference's val image summaries,
+    eval_ours.py:120-758 via visu/bbox_image.log_box_movement)."""
     banks = MetricBanks(
         dataset_family=dataset_family,
         moving_velocity_thresh=moving_velocity_thresh,
@@ -338,6 +345,19 @@ def run_val(
                     is_moving=np.asarray(batch["gt_moving_mask"][i], bool),
                     mask=np.asarray(batch["valid_t0"][i], bool),
                 )
+        if writer is not None and n <= log_images_num_batches:
+            from liso_tpu.visu.bbox_image import log_box_movement
+
+            pcl = np.asarray(batch["pcl_t0"])
+            log_box_movement(
+                writer=writer,
+                tag=f"val_images/batch{n - 1}",
+                global_step=global_step,
+                pcl_t0=pcl,
+                pred_boxes=pred,
+                gt_boxes=batch["gt_boxes"],
+                bev_range_m=bev_range_m,
+            )
         for i, (g, bench, p) in enumerate(zip(gts, benches, preds)):
             p = transfer_gt_class_ids(
                 g, p, rng, class_frequencies=freqs, n_classes=n_classes

@@ -42,9 +42,15 @@ def draw_boxes_bev(
     bev_range_m,
     color=(0.0, 1.0, 0.0),
 ) -> np.ndarray:
+    """color: one RGB triple, or a [K, 3] per-box array (reference
+    draw_box_onto_image accepts per-box colors, bbox_image.py:186)."""
     h, w = img_rgb.shape[:2]
     res = np.array([bev_range_m[0] / h, bev_range_m[1] / w])
-    for k in range(len(boxes["pos"])):
+    per_box = np.asarray(color, np.float32)
+    k_total = len(boxes["pos"])
+    if per_box.ndim == 1:
+        per_box = np.broadcast_to(per_box, (k_total, 3))
+    for k in range(k_total):
         cx, cy = boxes["pos"][k, :2]
         lx, wy = boxes["dims"][k, :2] * 0.5
         yaw = boxes["rot"][k, 0]
@@ -54,12 +60,209 @@ def draw_boxes_bev(
         ) @ np.array([[c, s], [-s, c]]) + np.array([cx, cy])
         rc = (corners + 0.5 * np.asarray(bev_range_m)) / res
         for i in range(4):
-            _draw_line(img_rgb, rc[i], rc[(i + 1) % 4], color)
+            _draw_line(img_rgb, rc[i], rc[(i + 1) % 4], per_box[k])
         # heading tick from center to front edge midpoint
         front = 0.5 * (rc[0] + rc[3])
         center = (np.array([cx, cy]) + 0.5 * np.asarray(bev_range_m)) / res
-        _draw_line(img_rgb, center, front, color)
+        _draw_line(img_rgb, center, front, per_box[k])
     return img_rgb
+
+
+def _summer(v: np.ndarray) -> np.ndarray:
+    """matplotlib 'summer' colormap (r=v, g=0.5+v/2, b=0.4) without the
+    matplotlib dependency."""
+    v = np.clip(np.asarray(v, np.float32), 0.0, 1.0)
+    return np.stack([v, 0.5 + 0.5 * v, 0.4 * np.ones_like(v)], axis=-1)
+
+
+def _boxes_at(boxes: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
+    """Batch element i of a padded batched box dict, valid rows only."""
+    v = np.asarray(boxes["valid"][i], bool)
+    return {k: np.asarray(x[i])[v] for k, x in boxes.items() if k != "valid"}
+
+
+def attribute_colored_box_image(
+    canvas_gray: np.ndarray,  # [B, H, W] float 0..1 occupancy
+    pred_boxes: Dict[str, np.ndarray],  # batched padded dict (with 'valid')
+    per_box_scalar: np.ndarray,  # [B, K]
+    bev_range_m,
+    gt_boxes: Optional[Dict[str, np.ndarray]] = None,
+) -> np.ndarray:
+    """GT wireframes in red, predictions colored by their min-max-normalized
+    scalar through the 'summer' colormap (reference
+    attribute_colored_box_image, bbox_image.py:431-466). Returns
+    [B, H, W, 3]."""
+    b = canvas_gray.shape[0]
+    scal = np.array(per_box_scalar, np.float32)
+    valid = np.asarray(pred_boxes["valid"], bool)
+    if valid.any():
+        lo = scal[valid].min()
+        hi = scal[valid].max()
+        norm = (scal - lo) / max(hi - lo, 1e-6)
+    else:
+        norm = np.full_like(scal, 0.5)
+    colors = _summer(norm)
+    out = np.repeat(canvas_gray[..., None].astype(np.float32), 3, axis=-1)
+    for i in range(b):
+        if gt_boxes is not None:
+            draw_boxes_bev(
+                out[i], _boxes_at(gt_boxes, i), bev_range_m,
+                color=(1.0, 0.0, 0.0),
+            )
+        v = valid[i]
+        draw_boxes_bev(
+            out[i],
+            {k: np.asarray(x[i])[v] for k, x in pred_boxes.items()
+             if k != "valid"},
+            bev_range_m,
+            color=colors[i][v],
+        )
+    return out
+
+
+def plot_per_box_text_on_canvas(
+    *,
+    bev_range_m,
+    pred_boxes: Dict[str, np.ndarray],  # batched padded dict
+    per_obj_scalar: np.ndarray,  # [B, K]
+    target_canvas: np.ndarray,  # [B, H, W, 3] float 0..1
+    max_num_images: int = 8,
+) -> np.ndarray:
+    """Stamp each valid box's scalar (scientific, 1 digit) at its BEV pixel
+    (reference plot_per_box_text_on_canvas, bbox_image.py:468-510)."""
+    from PIL import Image, ImageDraw
+
+    h, w = target_canvas.shape[1:3]
+    res = np.array([bev_range_m[0] / h, bev_range_m[1] / w])
+    scal = np.asarray(per_obj_scalar)
+    valid = np.asarray(pred_boxes["valid"], bool)
+    pos = np.asarray(pred_boxes["pos"])
+    canvii = []
+    for i in range(min(max_num_images, target_canvas.shape[0])):
+        canvas = Image.fromarray(
+            (255.0 * np.clip(target_canvas[i], 0, 1)).astype(np.uint8)
+        )
+        draw = ImageDraw.Draw(canvas)
+        for k in np.flatnonzero(valid[i]):
+            rc = (pos[i, k, :2] + 0.5 * np.asarray(bev_range_m)) / res
+            draw.text(
+                (float(rc[1]), float(rc[0])),
+                np.format_float_scientific(scal[i, k], precision=1),
+                fill=(255, 1, 154),
+            )
+        canvii.append(np.asarray(canvas, np.float32) / 255.0)
+    return np.stack(canvii)
+
+
+def scalar_colored_box_img_w_text(
+    canvas_gray: np.ndarray,
+    pred_boxes: Dict[str, np.ndarray],
+    per_obj_scalar: np.ndarray,
+    bev_range_m,
+    gt_boxes: Optional[Dict[str, np.ndarray]] = None,
+    max_num_images: int = 8,
+) -> np.ndarray:
+    """Scalar-colored wireframes + per-box scalar text (reference
+    scalar_colored_box_img_w_text, bbox_image.py:405-429)."""
+    rgb = attribute_colored_box_image(
+        canvas_gray, pred_boxes, per_obj_scalar, bev_range_m,
+        gt_boxes=gt_boxes,
+    )
+    return plot_per_box_text_on_canvas(
+        bev_range_m=bev_range_m,
+        pred_boxes=pred_boxes,
+        per_obj_scalar=per_obj_scalar,
+        target_canvas=rgb,
+        max_num_images=max_num_images,
+    )
+
+
+def _top_conf(boxes: Dict[str, np.ndarray], i: int, cap: int):
+    """Batch element i, valid rows, confidence-descending, capped."""
+    flat = _boxes_at(boxes, i)
+    if "probs" in flat and len(flat["pos"]):
+        order = np.argsort(-flat["probs"][:, 0])[:cap]
+        flat = {k: v[order] for k, v in flat.items()}
+    return flat
+
+
+def log_box_movement(
+    *,
+    writer,
+    tag: str,
+    global_step: int,
+    pcl_t0: np.ndarray,  # [B, N, >=2] (valid points)
+    pred_boxes: Dict[str, np.ndarray],  # batched padded
+    gt_boxes: Optional[Dict[str, np.ndarray]],
+    bev_range_m,
+    pcl_t1: Optional[np.ndarray] = None,
+    gt_boxes_t1: Optional[Dict[str, np.ndarray]] = None,
+    grid_hw=(512, 512),
+    max_num_images: int = 4,
+) -> np.ndarray:
+    """Reconstruction-target image panel (reference log_box_movement,
+    bbox_image.py:611-666): [preds@100-cap | preds@40-cap | t1 GT] stacked
+    along H, GT red / preds green, logged as one image per batch element."""
+    panels = []
+    b = len(pred_boxes["valid"])
+    for i in range(min(b, max_num_images)):
+        cols = []
+        for cap in (100, 40):
+            img = render_frame(
+                np.asarray(pcl_t0[i])[:, :2], None, bev_range_m, grid_hw
+            )
+            if gt_boxes is not None:
+                draw_boxes_bev(
+                    img, _boxes_at(gt_boxes, i), bev_range_m, (1.0, 0.0, 0.0)
+                )
+            draw_boxes_bev(
+                img, _top_conf(pred_boxes, i, cap), bev_range_m,
+                (0.0, 1.0, 0.0),
+            )
+            cols.append(img)
+        if pcl_t1 is not None and gt_boxes_t1 is not None:
+            img = render_frame(
+                np.asarray(pcl_t1[i])[:, :2], None, bev_range_m, grid_hw
+            )
+            draw_boxes_bev(
+                img, _boxes_at(gt_boxes_t1, i), bev_range_m, (1.0, 0.0, 0.0)
+            )
+            cols.append(img)
+        panels.append(np.concatenate(cols, axis=0))
+    panel = np.stack(panels)
+    if writer is not None:
+        for i, img in enumerate(panel):
+            writer.add_image(f"{tag}/b{i}", img, global_step)
+    return panel
+
+
+def render_gt_boxes_with_predicted_logits(
+    prob_map: np.ndarray,  # [B, H, W, 1] predicted confidence map
+    gt_boxes: Dict[str, np.ndarray],  # batched padded
+    canvas_gray: np.ndarray,  # [B, H, W]
+    bev_range_m,
+    max_num_images: int = 8,
+) -> np.ndarray:
+    """GT boxes colored + labeled by the detector's confidence at their
+    center pixel (reference render_gt_boxes_with_predicted_logits,
+    bbox_image.py:668-711) — shows whether the heatmap fires on GT."""
+    b, h, w = prob_map.shape[:3]
+    res = np.array([bev_range_m[0] / h, bev_range_m[1] / w])
+    pos = np.asarray(gt_boxes["pos"])
+    rc = np.floor(
+        (pos[..., :2] + 0.5 * np.asarray(bev_range_m)) / res
+    ).astype(int)
+    rr = np.clip(rc[..., 0], 0, h - 1)
+    cc = np.clip(rc[..., 1], 0, w - 1)
+    bidx = np.arange(b)[:, None]
+    probs_at_gt = np.asarray(prob_map)[bidx, rr, cc, 0]
+    return scalar_colored_box_img_w_text(
+        canvas_gray,
+        gt_boxes,
+        probs_at_gt,
+        bev_range_m,
+        max_num_images=max_num_images,
+    )
 
 
 def render_frame(

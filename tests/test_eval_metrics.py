@@ -285,3 +285,35 @@ class TestRunValFullMatrix:
         # quaternion is unit-norm wxyz
         q = np.asarray(e["rotation"])
         assert abs(np.linalg.norm(q) - 1.0) < 1e-5
+
+
+def test_run_val_logs_val_images():
+    """run_val with a writer renders pred-vs-GT panels for the first
+    log_images_num_batches batches (reference val image summaries)."""
+    from liso_tpu.eval.run_val import run_val
+
+    rng = np.random.RandomState(0)
+    helper = TestRunValFullMatrix()
+    batches = [helper._batch(rng) for _ in range(3)]
+
+    def predict(b):
+        return {k: v.copy() for k, v in b["gt_boxes"].items()}
+
+    class Rec:
+        def __init__(self):
+            self.tags = []
+
+        def add_image(self, tag, img, step):
+            self.tags.append((tag, step))
+            assert img.ndim == 3 and img.shape[-1] == 3
+
+    rec = Rec()
+    run_val(
+        iter(batches), predict, dataset_family="kitti",
+        writer=rec, log_images_num_batches=2, global_step=11,
+    )
+    tags = [t for t, _ in rec.tags]
+    assert any(t.startswith("val_images/batch0/") for t in tags)
+    assert any(t.startswith("val_images/batch1/") for t in tags)
+    assert not any(t.startswith("val_images/batch2/") for t in tags)
+    assert all(s == 11 for _, s in rec.tags)

@@ -195,3 +195,84 @@ def test_visu_utils_cmap_and_batches():
     assert rgba.min() >= 0.0 and rgba.max() <= 1.0
     flat = apply_cmap(np.zeros((4, 4)))  # ptp == 0 guard
     assert np.isfinite(flat).all()
+
+
+def _batched_boxes(b=2, k=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "pos": rng.uniform(-30, 30, (b, k, 3)).astype(np.float32),
+        "dims": np.full((b, k, 3), 3.0, np.float32),
+        "rot": rng.uniform(-3, 3, (b, k, 1)).astype(np.float32),
+        "probs": rng.uniform(0.1, 1.0, (b, k, 1)).astype(np.float32),
+        "valid": np.array([[True, True, False], [True, False, False]]),
+    }
+
+
+def test_attribute_colored_box_image_and_text():
+    from liso_tpu.visu.bbox_image import (
+        attribute_colored_box_image, scalar_colored_box_img_w_text,
+    )
+
+    boxes = _batched_boxes()
+    canvas = np.zeros((2, 64, 64), np.float32)
+    scal = boxes["probs"][..., 0]
+    rgb = attribute_colored_box_image(canvas, boxes, scal, (100.0, 100.0))
+    assert rgb.shape == (2, 64, 64, 3)
+    assert rgb.max() > 0  # some wireframe drawn
+    # summer colormap keeps blue channel at 0.4 on colored pixels
+    drawn = rgb[rgb.sum(-1) > 0]
+    assert np.isclose(drawn[:, 2].min(), 0.4, atol=1e-5)
+
+    txt = scalar_colored_box_img_w_text(
+        canvas, boxes, scal, (100.0, 100.0), gt_boxes=boxes,
+        max_num_images=2,
+    )
+    assert txt.shape == (2, 64, 64, 3)
+    assert txt.max() <= 1.0 and txt.min() >= 0.0
+
+
+def test_log_box_movement_panel():
+    from liso_tpu.visu.bbox_image import log_box_movement
+
+    boxes = _batched_boxes()
+    rng = np.random.RandomState(1)
+    pcl = rng.uniform(-40, 40, (2, 256, 3)).astype(np.float32)
+
+    class Rec:
+        def __init__(self):
+            self.tags = []
+
+        def add_image(self, tag, img, step):
+            self.tags.append(tag)
+            assert img.ndim == 3 and img.shape[-1] == 3
+
+    rec = Rec()
+    panel = log_box_movement(
+        writer=rec,
+        tag="val_images/batch0",
+        global_step=7,
+        pcl_t0=pcl,
+        pred_boxes=boxes,
+        gt_boxes=boxes,
+        bev_range_m=(100.0, 100.0),
+        pcl_t1=pcl,
+        gt_boxes_t1=boxes,
+        grid_hw=(64, 64),
+    )
+    # 3 panels (100-cap, 40-cap, t1 gt) stacked along H
+    assert panel.shape == (2, 3 * 64, 64, 3)
+    assert rec.tags == ["val_images/batch0/b0", "val_images/batch0/b1"]
+
+
+def test_render_gt_boxes_with_predicted_logits():
+    from liso_tpu.visu.bbox_image import render_gt_boxes_with_predicted_logits
+
+    boxes = _batched_boxes()
+    prob_map = np.random.RandomState(2).uniform(
+        0, 1, (2, 64, 64, 1)
+    ).astype(np.float32)
+    img = render_gt_boxes_with_predicted_logits(
+        prob_map, boxes, np.zeros((2, 64, 64), np.float32), (100.0, 100.0)
+    )
+    assert img.shape == (2, 64, 64, 3)
+    assert img.max() > 0

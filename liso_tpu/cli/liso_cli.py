@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from liso_tpu.cli.common import (load_cfg_make_logdir, parse_cli_args,
                                   run_maybe_profiled)
-from liso_tpu.cli.slim_cli import build_datasets
+from liso_tpu.cli.slim_cli import build_datasets, make_train_dataset
 from liso_tpu.data.dataset import DataCfg
 from liso_tpu.train.liso_loop import LisoSelfTraining
 
@@ -17,26 +17,13 @@ from liso_tpu.train.liso_loop import LisoSelfTraining
 def main(argv=None):
     args = parse_cli_args(argv)
     cfg, log_dir = load_cfg_make_logdir(args, "liso")
-    train_ds, val_ds, bev = build_datasets(cfg, args.fast_test)
+    train_ds, val_ds, bev = build_datasets(
+        cfg, args.fast_test, target="object"
+    )
     dcfg = train_ds.cfg
 
-    source = str(cfg.data.source)
-
     def factory(mined_db):
-        if source in ("toy", "synthetic"):
-            from liso_tpu.data.synthetic import SyntheticDataset
-
-            n_frames = 8 if args.fast_test else 64
-            return SyntheticDataset(
-                dcfg, n_frames=n_frames, seed=0, mined_boxes_db=mined_db
-            )
-        from liso_tpu.data.kitti import KittiRawDataset
-
-        from pathlib import Path
-
-        return KittiRawDataset(
-            dcfg, Path(cfg.data.paths.kitti.local), mined_boxes_db=mined_db
-        )
+        return make_train_dataset(cfg, dcfg, args.fast_test, mined_db)
 
     loop = LisoSelfTraining(cfg, factory, val_ds, log_dir, data_cfg=dcfg)
     run_maybe_profiled(

@@ -14,7 +14,11 @@ from liso_tpu.data.dataset import DataCfg
 from liso_tpu.ops.bev import BevSetup
 
 
-def build_datasets(cfg, fast_test: bool):
+def build_datasets(cfg, fast_test: bool, target: str = "flow"):
+    """Source -> (train_ds, val_ds, bev) dispatch for all six dataset
+    families (reference kabsch/main_utils.get_datasets:323-463). `target`
+    selects the KITTI val split: 'flow' -> tracking (flow EPE eval),
+    'object' -> object-detection split with ignore regions."""
     bev = BevSetup(tuple(cfg.data.bev_range_m), tuple(cfg.data.img_grid_size))
     n_max = 4096 if fast_test else 65536
     dcfg = DataCfg(
@@ -35,16 +39,92 @@ def build_datasets(cfg, fast_test: bool):
             SyntheticDataset(dcfg, n_frames=max(n_frames // 4, 2), seed=1),
             bev,
         )
+
+    def _try(ctor, *a, **kw):
+        try:
+            return ctor(*a, **kw)
+        except FileNotFoundError:
+            return None
+
     if source == "kitti":
-        from liso_tpu.data.kitti import KittiRawDataset, KittiTrackingDataset
+        from liso_tpu.data.kitti import (
+            KittiObjectDataset, KittiRawDataset, KittiTrackingDataset,
+        )
 
         root = Path(cfg.data.paths.kitti.local)
         train = KittiRawDataset(dcfg, root)
-        try:
-            val = KittiTrackingDataset(dcfg, root)
-        except FileNotFoundError:
-            val = None
+        val_cls = (
+            KittiObjectDataset if target == "object" else KittiTrackingDataset
+        )
+        return train, _try(val_cls, dcfg, root), bev
+    if source == "nuscenes":
+        from liso_tpu.data.nuscenes import NuscenesDataset
+
+        root = Path(cfg.data.paths.nuscenes.local)
+        train = NuscenesDataset(dcfg, root, mode="train")
+        return train, _try(NuscenesDataset, dcfg, root, mode="val"), bev
+    if source == "waymo":
+        from liso_tpu.data.waymo import WaymoDataset
+
+        root = Path(cfg.data.paths.waymo.local)
+        ds_factor = int(
+            getattr(cfg.data, "waymo_downsample_factor", 5) or 5
+        )
+        train = WaymoDataset(dcfg, root, downsample_factor=ds_factor)
+        val = _try(
+            WaymoDataset, dcfg, root / "val", downsample_factor=ds_factor
+        ) or train
         return train, val, bev
+    if source == "av2":
+        from liso_tpu.data.waymo import AV2Dataset
+
+        root = Path(cfg.data.paths.av2.local)
+        train = AV2Dataset(dcfg, root)
+        return train, _try(AV2Dataset, dcfg, root / "val") or train, bev
+    raise NotImplementedError(source)
+
+
+def make_train_dataset(cfg, dcfg, fast_test: bool, mined_db=None):
+    """Rebuild the train dataset (optionally with a mined-box DB injected) —
+    the loader-rebuild step of the reference rounds loop
+    (liso_cli.py:317-327)."""
+    source = str(cfg.data.source)
+    if source in ("toy", "synthetic"):
+        from liso_tpu.data.synthetic import SyntheticDataset
+
+        n_frames = 8 if fast_test else 64
+        return SyntheticDataset(
+            dcfg, n_frames=n_frames, seed=0, mined_boxes_db=mined_db
+        )
+    if source == "kitti":
+        from liso_tpu.data.kitti import KittiRawDataset
+
+        return KittiRawDataset(
+            dcfg, Path(cfg.data.paths.kitti.local), mined_boxes_db=mined_db
+        )
+    if source == "nuscenes":
+        from liso_tpu.data.nuscenes import NuscenesDataset
+
+        return NuscenesDataset(
+            dcfg, Path(cfg.data.paths.nuscenes.local), mode="train",
+            mined_boxes_db=mined_db,
+        )
+    if source == "waymo":
+        from liso_tpu.data.waymo import WaymoDataset
+
+        return WaymoDataset(
+            dcfg, Path(cfg.data.paths.waymo.local),
+            downsample_factor=int(
+                getattr(cfg.data, "waymo_downsample_factor", 5) or 5
+            ),
+            mined_boxes_db=mined_db,
+        )
+    if source == "av2":
+        from liso_tpu.data.waymo import AV2Dataset
+
+        return AV2Dataset(
+            dcfg, Path(cfg.data.paths.av2.local), mined_boxes_db=mined_db
+        )
     raise NotImplementedError(source)
 
 

@@ -142,6 +142,10 @@ def parse_config(
         for el in kv:
             assert "=" not in el, f"char = not allowed in keyword update: {el}"
         path, value = kv[:-1], kv[-1]
+        # accept both "-kv a b c value" (reference style) and
+        # "-kv a.b.c value" — a dotted token otherwise passes the select()
+        # existence check below yet would write a literal "a.b.c" key
+        path = [seg for el in path for seg in str(el).split(".")]
         dotted = ".".join(path)
         assert cfg.select(dotted) is not None, (
             f"you are updating keys that do not exist in default config: "

@@ -172,3 +172,17 @@ def test_reference_readme_commands_resolve():
                                             "supervised_hungarian"])
     assert cfg.loss.supervised.hungarian.active is True
     assert cfg.loss.reconstruction.active is False
+
+
+def test_kv_dotted_path_equivalent_to_segments(tmp_path):
+    """'-kv a.b.c v' must hit the same nested key as '-kv a b c v' (a dotted
+    token previously wrote a literal 'a.b.c' key silently)."""
+    from liso_tpu.cli.common import DEFAULT_CFG
+    from liso_tpu.utils.config import parse_config
+
+    seg = parse_config(str(DEFAULT_CFG), [],
+                       [["data", "batch_size", "7"]])
+    dot = parse_config(str(DEFAULT_CFG), [],
+                       [["data.batch_size", "7"]])
+    assert seg.data.batch_size == dot.data.batch_size == 7
+    assert "data.batch_size" not in dot.to_dict()

@@ -78,3 +78,34 @@ def test_missing_root_raises(tmp_path):
         NuscenesDataset(CFG, tmp_path / "nope")
     with pytest.raises(FileNotFoundError):
         WaymoDataset(CFG, tmp_path / "nope")
+
+
+def test_build_datasets_source_dispatch(tmp_path):
+    """CLI source dispatch covers all dataset families (reference
+    main_utils.get_datasets:323-463)."""
+    from liso_tpu.cli.slim_cli import build_datasets, make_train_dataset
+    from liso_tpu.utils.config import parse_config
+    from liso_tpu.cli.common import DEFAULT_CFG
+
+    write_samples(tmp_path / "nuscenes" / "train",
+                  ["scene-0001_0000", "scene-0001_0001"])
+    write_samples(tmp_path / "waymo", ["segment1_0000", "segment1_0001"],
+                  category="TYPE_VEHICLE")
+    write_samples(tmp_path / "av2" / "log_a", ["0000", "0001"],
+                  category="REGULAR_VEHICLE")
+    write_samples(tmp_path / "kitti_raw",
+                  ["2011_09_26_0001_0000", "2011_09_26_0001_0001"])
+
+    for source, overlay in (
+        ("nuscenes", "nuscenes"), ("waymo", "waymo"), ("av2", "av2"),
+        ("kitti", "kitti"),
+    ):
+        cfg = parse_config(str(DEFAULT_CFG), [overlay], None)
+        cfg.data.source = source
+        for fam in ("kitti", "nuscenes", "waymo", "av2"):
+            cfg.data.paths[fam]["local"] = str(tmp_path)
+        train, val, bev = build_datasets(cfg, fast_test=True)
+        assert len(train) >= 1, source
+        # mined-db train rebuild path used by the rounds loop
+        ds = make_train_dataset(cfg, train.cfg, fast_test=True, mined_db={})
+        assert len(ds) >= 1, source

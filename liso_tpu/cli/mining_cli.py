@@ -1,0 +1,119 @@
+"""Standalone pseudo-label mining / tracking CLI.
+
+Behavioral reference: liso/tracker/tracking.py:main:114 — mine boxes over
+whole dataset sequences with either the flow-cluster bootstrap (no
+checkpoint) or a trained detector (--load_checkpoint), save the mined +
+augmentation DBs, evaluate the mined boxes through the exact run_val
+metrics path, and write a tracked-sequence GIF. Usage:
+
+  python -m liso_tpu.cli.mining_cli -c kitti bev_100m_512 centerpoint liso \
+      [--load_checkpoint DIR] [--world_size N --worker_id I] [--fast-test]
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from liso_tpu.cli.common import (load_cfg_make_logdir, parse_cli_args,
+                                  run_maybe_profiled)
+from liso_tpu.cli.slim_cli import build_datasets, make_train_dataset
+from liso_tpu.train.liso_loop import LisoSelfTraining, frames_from_dataset
+
+
+def _save_sequence_gif(loop, dataset, log_dir, max_frames: int = 20):
+    """Tracked-boxes GIF of the first sequence (tracking.py:365-500 logs
+    these as animated TB summaries)."""
+    from liso_tpu.eval.run_val import mined_db_predictor
+    from liso_tpu.visu.bbox_image import render_frame, save_tracking_gif
+
+    seq = loop._sequences(dataset)[0][:max_frames]
+    frames = frames_from_dataset(dataset, seq)
+    predict = mined_db_predictor(loop.mined_db or {})
+    images = []
+    for f in frames:
+        pred = predict({"sample_id": [f.sample_id]})
+        v = pred["valid"][0]
+        boxes = {
+            k: np.asarray(x[0])[v] for k, x in pred.items() if k != "valid"
+        }
+        images.append(
+            render_frame(
+                np.asarray(f.pcl)[np.asarray(f.valid, bool)][:, :2],
+                boxes if len(boxes["pos"]) else None,
+                loop.bev.bev_range_m,
+                grid_hw=(256, 256),
+            )
+        )
+    if images:
+        return save_tracking_gif(images, log_dir / "tracked_sequence.gif")
+    return None
+
+
+def main(argv=None):
+    args = parse_cli_args(argv)
+    cfg, log_dir = load_cfg_make_logdir(args, "mining")
+    train_ds, val_ds, bev = build_datasets(
+        cfg, args.fast_test, target="object"
+    )
+    dcfg = train_ds.cfg
+
+    def factory(mined_db):
+        return make_train_dataset(cfg, dcfg, args.fast_test, mined_db)
+
+    loop = LisoSelfTraining(cfg, factory, val_ds, log_dir, data_cfg=dcfg)
+
+    if args.load_checkpoint:
+        # mine with the restored detector instead of the flow-cluster
+        # bootstrap (tracking.py:697-732 uses the trained net per frame)
+        import jax.numpy as jnp
+
+        sample = train_ds[0]
+        pts = jnp.asarray(sample.pcl_t0)[None]
+        valid = jnp.asarray(sample.valid_t0)[None]
+        step = loop.restore(args.load_checkpoint, pts, valid)
+        loop.round_idx = 1  # force the detector mining path
+        print(f"restored detector checkpoint at step {step}")
+
+    def body():
+        loop.mine(
+            train_ds, world_size=args.world_size, worker_id=args.worker_id
+        )
+        n_boxes = sum(
+            len(v["track_id"]) for v in (loop.mined_db or {}).values()
+        )
+        # evaluate the mined DB through the run_val metrics path
+        # (tracking eval = run_val with the DB as predictor,
+        # liso_cli.py:294-315)
+        metrics = {}
+        if val_ds is not None or True:
+            from liso_tpu.data.pipeline import Prefetcher
+            from liso_tpu.eval.run_val import mined_db_predictor, run_val
+
+            loader = Prefetcher(
+                factory(None), batch_size=1, shuffle=False, num_workers=1
+            )
+            metrics = run_val(
+                iter(loader),
+                mined_db_predictor(loop.mined_db or {}),
+                max_batches=4 if args.fast_test else None,
+            )
+            headline = {
+                k: round(float(v), 4)
+                for k, v in metrics.items()
+                if k.startswith(("mAP", "AP_overall_overall"))
+            }
+            print("mined-box eval:", headline)
+        gif = _save_sequence_gif(loop, train_ds, log_dir)
+        print(
+            f"mined {n_boxes} boxes; DBs in "
+            f"{log_dir / f'mined_round_{loop.round_idx}'}"
+            + (f"; GIF {gif}" if gif else "")
+        )
+        return metrics
+
+    run_maybe_profiled(args, log_dir, body)
+    print(f"done; logs in {log_dir}")
+    return log_dir
+
+
+if __name__ == "__main__":
+    main()

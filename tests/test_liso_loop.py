@@ -98,3 +98,16 @@ def test_mining_frames_use_fixed_consecutive_keys_and_no_augm():
     for a, b in zip(f1, f2):
         np.testing.assert_array_equal(a.odom_ta_tb, b.odom_ta_tb)
         np.testing.assert_array_equal(a.flow, b.flow)
+
+
+def test_mining_cli_end_to_end(tmp_path):
+    """Standalone mining CLI (reference tracker/tracking.py:main): bootstrap
+    mining on the synthetic source, DBs + GIF + mined-box eval."""
+    from liso_tpu.cli.mining_cli import main
+
+    log_dir = main(["--fast-test", "--summary_dir", str(tmp_path)])
+    mined = list(log_dir.glob("mined_round_0/tracked*"))
+    augm = list(log_dir.glob("mined_round_0/augm_db*"))
+    assert mined and augm
+    assert (log_dir / "tracked_sequence.gif").exists()
+    assert (log_dir / "mined_round_0" / "tracking_cfg.yaml").exists()

@@ -46,8 +46,12 @@ class ConvBNRelu(nn.Module):
                 dtype=self.dtype,
                 name="conv",
             )(x)
+        # dtype on the norm = bf16 activations at every stage boundary
+        # (statistics still accumulate in fp32 internally); emitting fp32
+        # here doubles the HBM traffic between bf16 convs
         x = nn.BatchNorm(
-            use_running_average=not train, epsilon=1e-3, momentum=0.99, name="bn"
+            use_running_average=not train, epsilon=1e-3, momentum=0.99,
+            dtype=self.dtype, name="bn"
         )(x)
         return nn.relu(x)
 
@@ -111,6 +115,7 @@ class SepHead(nn.Module):
     heads: Tuple[Tuple[str, int], ...]  # ((name, out_channels), ...)
     head_conv: int = 64
     num_conv: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -118,15 +123,19 @@ class SepHead(nn.Module):
         for name, channels in self.heads:
             y = x
             for i in range(self.num_conv - 1):
-                y = nn.Conv(self.head_conv, (3, 3), name=f"{name}_conv{i}")(y)
+                y = nn.Conv(self.head_conv, (3, 3), dtype=self.dtype,
+                            name=f"{name}_conv{i}")(y)
                 y = nn.BatchNorm(
                     use_running_average=not train,
                     epsilon=1e-3,
                     momentum=0.99,
+                    dtype=self.dtype,
                     name=f"{name}_bn{i}",
                 )(y)
                 y = nn.relu(y)
-            out[name] = nn.Conv(channels, (3, 3), name=f"{name}_final")(y)
+            out[name] = nn.Conv(
+                channels, (3, 3), dtype=self.dtype, name=f"{name}_final"
+            )(y).astype(jnp.float32)
         return out
 
 
@@ -176,5 +185,7 @@ class CenterPointNet(nn.Module):
             self.share_conv_channel, head_stride, dtype=self.dtype,
             name="shared_conv",
         )(x, train)
-        maps = SepHead(self.head_channels, name="sep_head")(x, train)
+        maps = SepHead(
+            self.head_channels, dtype=self.dtype, name="sep_head"
+        )(x, train)
         return maps, occ

@@ -139,14 +139,21 @@ class JointEncoder(nn.Module):
 # Correlation pyramid (raft_code/corr.py rebuilt)
 # ---------------------------------------------------------------------------
 def build_corr_pyramid(
-    fmap0: jnp.ndarray, fmap1: jnp.ndarray, num_levels: int = 4
+    fmap0: jnp.ndarray, fmap1: jnp.ndarray, num_levels: int = 4,
+    out_dtype=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """fmap* [B, H, W, C] -> tuple of [B, H*W, Hk, Wk] volumes.
 
     Every level is one [B, HW, C] x [B, C, HkWk] MXU matmul of f0 against a
     2x2-average-pooled fmap1: corr is LINEAR in fmap1, so pooling fmap1
     (4 MB) before correlating equals the reference's pooling of the corr
-    volume (268 MB at 512 grid — a 35 ms reduce-window chain on TPU)."""
+    volume (268 MB at 512 grid — a 35 ms reduce-window chain on TPU).
+
+    out_dtype=bfloat16 writes the volume in bf16 straight from the MXU
+    (fp32 accumulation, then one rounding) — the lookup path quantizes to
+    bf16 anyway (ops/corr_lookup_mm.prepare), so this only moves the cast
+    into the matmul epilogue and halves the volume's HBM write + re-read
+    (~800 MB/flow-pass at 512 grid)."""
     b, h, w, c = fmap0.shape
     f0 = fmap0.reshape(b, h * w, c)
     scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
@@ -163,6 +170,8 @@ def build_corr_pyramid(
             )
             * scale
         )
+        if out_dtype is not None:
+            corr = corr.astype(out_dtype)
         pyramid.append(corr.reshape(b, h * w, hk, wk))
         if min(hk, wk) < 4:
             break  # tiny test grids: deeper levels would be empty
@@ -215,18 +224,22 @@ def lookup_corr(
     return jnp.concatenate(out, axis=-1)
 
 
+def _use_mm_lookup() -> bool:
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("LISO_DISABLE_PALLAS_LOOKUP")
+    )
+
+
 def make_corr_lookup(pyramid, radius: int = 3):
     """Returns a coords -> [B, H, W, L*49] lookup closure. On TPU the
     pyramid is cast to bf16 ONCE and each of the 6 RAFT iterations selects
     its windows with batched one-hot MXU matmuls (ops/corr_lookup_mm) —
     exact lookup_corr semantics, no gathers fwd or bwd; elsewhere the jnp
     gather path is used."""
-    import os
-
-    if (
-        jax.default_backend() == "tpu"
-        and not os.environ.get("LISO_DISABLE_PALLAS_LOOKUP")
-    ):
+    if _use_mm_lookup():
         from liso_tpu.ops.corr_lookup_mm import (
             lookup_prepared_mm, prepare_corr_volumes_mm,
         )
@@ -485,7 +498,13 @@ class RAFT(nn.Module):
         upsample_all: bool = True,
     ):
         update = self.update_block
-        pyramid = build_corr_pyramid(fmap0, fmap1, self.corr_levels)
+        pyramid = build_corr_pyramid(
+            fmap0, fmap1, self.corr_levels,
+            # mm-lookup path quantizes to bf16 anyway: write the volume in
+            # bf16 straight from the MXU epilogue (same values, half the
+            # HBM traffic); the gather path keeps fp32
+            out_dtype=jnp.bfloat16 if _use_mm_lookup() else None,
+        )
         corr_lookup = make_corr_lookup(pyramid, self.corr_radius)
 
         net = jnp.tanh(cn[..., : self.hidden_dim])

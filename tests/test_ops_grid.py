@@ -330,3 +330,26 @@ class TestCorrLookupMM:
         np.testing.assert_allclose(
             np.asarray(pyr[2]), np.asarray(want2), rtol=1e-5, atol=1e-5
         )
+
+
+def test_bf16_volume_build_equals_posthoc_cast():
+    """build_corr_pyramid(out_dtype=bf16) must equal casting the fp32
+    pyramid afterwards (prepare_corr_volumes_mm) — the MXU-epilogue cast
+    only moves WHERE the rounding happens, not the values."""
+    from liso_tpu.models.raft import build_corr_pyramid
+    from liso_tpu.ops.corr_lookup_mm import prepare_corr_volumes_mm
+
+    rng = np.random.RandomState(3)
+    f0 = jnp.asarray(rng.randn(2, 12, 16, 32).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(2, 12, 16, 32).astype(np.float32))
+    direct = build_corr_pyramid(f0, f1, num_levels=3,
+                                out_dtype=jnp.bfloat16)
+    posthoc = prepare_corr_volumes_mm(
+        build_corr_pyramid(f0, f1, num_levels=3)
+    )
+    assert len(direct) == len(posthoc)
+    for a, b in zip(direct, posthoc):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )

@@ -60,6 +60,7 @@ class BoxLearner(nn.Module):
                 head_channels=self.box_cfg.head_channels(),
                 hid_dim=self.hid_dim,
                 num_decoder_layers=self.num_decoder_layers,
+                dtype=self.compute_dtype,
                 name="model",
             )
         else:

@@ -110,18 +110,22 @@ class PointPillarsNet(nn.Module):
     bev: BevSetup
     anchor_cfg: AnchorCfg = AnchorCfg()
     hid_dim: int = 64
+    dtype: object = None  # bf16 compute when set (params stay fp32)
 
     @nn.compact
     def __call__(self, points, valid, train: bool = False):
         img, occ = PillarEncoder(
             self.bev, num_channels=self.hid_dim, name="pfn"
         )(points, valid, train=train)
-        feat = RPN(name="second_fpn")(img, train)  # /4, 384ch
-        feat = ConvBNRelu(128, 1, name="reduce")(feat, train)
+        feat = RPN(dtype=self.dtype, name="second_fpn")(img, train)
+        feat = ConvBNRelu(128, 1, dtype=self.dtype, name="reduce")(feat, train)
         a = self.anchor_cfg.num_anchors
-        cls = nn.Conv(a, (1, 1), name="cls_head")(feat)  # [B, h, w, A]
-        reg = nn.Conv(a * 7, (1, 1), name="reg_head")(feat)
-        direction = nn.Conv(a * 2, (1, 1), name="dir_head")(feat)
+        cls = nn.Conv(a, (1, 1), dtype=self.dtype, name="cls_head")(
+            feat).astype(jnp.float32)  # [B, h, w, A]
+        reg = nn.Conv(a * 7, (1, 1), dtype=self.dtype, name="reg_head")(
+            feat).astype(jnp.float32)
+        direction = nn.Conv(a * 2, (1, 1), dtype=self.dtype, name="dir_head")(
+            feat).astype(jnp.float32)
         b, h, w, _ = cls.shape
         return (
             cls.reshape(b, h, w, a),

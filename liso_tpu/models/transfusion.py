@@ -115,6 +115,8 @@ class TransFusionNet(nn.Module):
     num_decoder_layers: int = 1
     num_classes: int = 1
     nms_kernel_size: int = 3
+    dtype: object = None  # bf16 conv-backbone compute when set (the
+    # decoder/attention stays fp32: 200 queries, numerically sensitive)
 
     @nn.compact
     def __call__(self, points, valid, train: bool = False):
@@ -127,9 +129,13 @@ class TransFusionNet(nn.Module):
             ds_filters=(self.hid_dim, 128),
             us_strides=(0.5, 1),
             us_filters=(128, 128),
+            dtype=self.dtype,
             name="backbone",
         )(img, train)  # [B, H/4, W/4, 256]
-        feat = ConvBNRelu(self.d_model, 1, name="reduce")(feat, train)
+        feat = ConvBNRelu(
+            self.d_model, 1, dtype=self.dtype, name="reduce"
+        )(feat, train)
+        feat = feat.astype(jnp.float32)
         b, hh, ww, _ = feat.shape
 
         dense_heatmap = nn.Conv(

@@ -154,6 +154,102 @@ def flow_knn(
     return warped, d
 
 
+def flow_knn_multi(
+    cloud_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    cloud_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    flows: dict,
+    chunk: int,
+):
+    """ONE 1-NN dispatch for several flow variants of the same cloud pair
+    (the reference batches all flow flavors into one KD-tree query pass,
+    knn_loss.py:9-82; here they also share one kernel launch and one ref
+    stream). The variant clouds concatenate along the point axis; the
+    banded kernel's visit ranges are computed per 512-query chunk from the
+    chunk's own x extents, so mixed-variant chunks stay exact (only a
+    chunk straddling two variants gets a slightly wider band). Returns
+    {key: (warped [B,N,3], dist_sqr [B,N])}."""
+    keys = sorted(flows)
+    n = cloud_a.shape[1]
+    warped = {k: cloud_a[..., :3] + flows[k][..., :3] for k in keys}
+    if len(keys) == 1:
+        w, d = flow_knn(
+            cloud_a, valid_a, cloud_b, valid_b, flows[keys[0]], chunk
+        )
+        return {keys[0]: (w, d)}
+    q = jnp.concatenate([warped[k] for k in keys], axis=1)
+    va = jnp.concatenate([valid_a] * len(keys), axis=1)
+
+    if jax.default_backend() == "tpu":
+        from liso_tpu.ops.knn_pallas import nn_1_sorted_diff
+
+        d_all = nn_1_sorted_diff(q, cloud_b[..., :3], va, valid_b, 8.0)
+    else:
+
+        def per_sample(qi, b, qv, bv):
+            d, _ = knn_ops.nn_1(qi, b, qv, bv, chunk=chunk)
+            return d
+
+        d_all = jax.vmap(per_sample, in_axes=(0, 0, 0, 0))(
+            q, cloud_b[..., :3], va, valid_b
+        )
+    d_all = jnp.where(va, d_all, 0.0)
+    return {
+        k: (warped[k], d_all[:, i * n : (i + 1) * n])
+        for i, k in enumerate(keys)
+    }
+
+
+def batched_knn_for_iterations(preds, pca, va, pcb, vb, cfg: "SlimLossCfg"):
+    """ONE kernel dispatch for ALL RAFT iterations x flow types of one
+    direction (the per-step total is 2 dispatches instead of
+    iterations x types x 2 = 36). preds: per-iteration SlimPredictions.
+    Returns one {type: {loss, dist_sqr}} dict per iteration, the format
+    slim_loss_single_iteration(knn_fw=...) consumes. Exact: the decode
+    threshold is read once per step, so iterations are independent."""
+    types = sorted(knn_flow_types(cfg))
+    flows = {
+        f"{it:02d}/{t}": getattr(pred, f"{t}_flow")
+        for it, pred in enumerate(preds)
+        for t in types
+    }
+    res_multi = flow_knn_multi(pca, va, pcb, vb, flows, cfg.knn_chunk)
+    out = []
+    for it in range(len(preds)):
+        res = {}
+        for t in types:
+            warped, d_sqr = res_multi[f"{it:02d}/{t}"]
+            res[t] = {
+                "loss": nearest_point_loss(
+                    cfg.knn, cfg.bev_extent, warped, d_sqr, va
+                ),
+                "dist_sqr": d_sqr,
+            }
+        out.append(res)
+    return out
+
+
+def knn_flow_types(cfg: SlimLossCfg) -> set:
+    """Which flow variants need a kNN pass (knn_loss.py:27-43)."""
+    static_key = (
+        "static_aggr" if cfg.use_static_aggr_flow_for_aggr_flow else "static"
+    )
+    art_static_key = (
+        "static_aggr" if cfg.artificial_use_static_aggr_flow else "static"
+    )
+    types = {"aggregated"}
+    if cfg.artificial_cross_entropy_penalty > 0.0:
+        types |= {"dynamic", art_static_key}
+    if cfg.knn_on_dynamic_penalty != 0.0:
+        types.add("dynamic")
+    if cfg.knn_on_static_penalty != 0.0:
+        types.add(static_key)
+    if cfg.use_static_aggr_flow_for_aggr_flow:
+        types |= {"dynamic", "static_aggr"}  # threshold update needs both
+    return types
+
+
 def range_based_weights(cfg: KnnLossCfg, pc: jnp.ndarray, valid: jnp.ndarray):
     """slim_loss_adaptor.py:get_range_based_knn_loss_weights."""
     if cfg.weight_slope == 0.0:
@@ -209,9 +305,16 @@ def slim_loss_single_iteration(
     movavg: MovAvgState,
     cfg: SlimLossCfg,
     update_threshold: bool = True,
+    knn_fw=None,
+    knn_bw=None,
 ):
     """One RAFT iteration's loss (slim_loss_adaptor.py:123-348). Returns
-    (loss scalar, new movavg state, metrics dict)."""
+    (loss scalar, new movavg state, metrics dict).
+
+    knn_fw/knn_bw: optional precomputed {type: {loss, dist_sqr}} from a
+    batched multi-iteration 1-NN pass (SlimTrainer batches all
+    iterations x flow types x directions into one kernel dispatch per
+    direction); when None the searches run here."""
     metrics = {}
     total = jnp.zeros(())
 
@@ -257,27 +360,24 @@ def slim_loss_single_iteration(
     art_static_key = (
         "static_aggr" if cfg.artificial_use_static_aggr_flow else "static"
     )
-    types = {"aggregated"}
-    if cfg.artificial_cross_entropy_penalty > 0.0:
-        types |= {"dynamic", art_static_key}
-    if cfg.knn_on_dynamic_penalty != 0.0:
-        types.add("dynamic")
-    if cfg.knn_on_static_penalty != 0.0:
-        types.add(static_key)
-    if cfg.use_static_aggr_flow_for_aggr_flow:
-        types |= {"dynamic", "static_aggr"}  # threshold update needs both
+    types = knn_flow_types(cfg)
 
     def knn_all(pred, pca, va, pcb, vb):
+        res_multi = flow_knn_multi(
+            pca, va, pcb, vb,
+            {t: getattr(pred, f"{t}_flow") for t in sorted(types)},
+            cfg.knn_chunk,
+        )
         res = {}
-        for t in sorted(types):
-            flow = getattr(pred, f"{t}_flow")
-            warped, d_sqr = flow_knn(pca, va, pcb, vb, flow, cfg.knn_chunk)
+        for t, (warped, d_sqr) in res_multi.items():
             loss = nearest_point_loss(cfg.knn, cfg.bev_extent, warped, d_sqr, va)
             res[t] = {"loss": loss, "dist_sqr": d_sqr}
         return res
 
-    knn_fw = knn_all(pred_fw, pc1, valid1, pc2, valid2)
-    knn_bw = knn_all(pred_bw, pc2, valid2, pc1, valid1)
+    if knn_fw is None:
+        knn_fw = knn_all(pred_fw, pc1, valid1, pc2, valid2)
+    if knn_bw is None:
+        knn_bw = knn_all(pred_bw, pc2, valid2, pc1, valid1)
 
     w_fw = range_based_weights(cfg.knn, pc1, valid1)
     w_bw = range_based_weights(cfg.knn, pc2, valid2)

@@ -19,7 +19,11 @@ import optax
 from flax import struct
 
 from liso_tpu.data.sample import FlowSample, PointCloud
-from liso_tpu.losses.slim_loss import SlimLossCfg, slim_loss_single_iteration
+from liso_tpu.losses.slim_loss import (
+    SlimLossCfg,
+    batched_knn_for_iterations,
+    slim_loss_single_iteration,
+)
 from liso_tpu.models.pillar_encoder import pillar_coords
 from liso_tpu.models.slim import (
     MovAvgState,
@@ -191,36 +195,51 @@ class SlimTrainer:
         ).astype(jnp.int32)
         thr = movavg_value(movavg)
 
-        total = jnp.zeros(())
-        metrics = {}
-        last_pred = None
+        # decode every iteration first, then run ONE batched 1-NN dispatch
+        # per direction covering all iterations x flow types (vs one per
+        # iteration x type x direction) — exact: `thr` is read once per
+        # step, so iterations don't feed back into each other
+        preds_fw, preds_bw = [], []
         for it in range(self.num_iters):
-            pred_fw = decode(
+            preds_fw.append(decode(
                 out_fw[it], thr, cfg=self.dcfg,
                 pc=batch.pcl_t0.pcl, rowcol=rc0, point_cells=cells0,
                 point_valid=batch.pcl_t0.valid,
                 filled_pillar_mask=occ0 > 0.5, inv_odom=batch.odom_t1_t0,
                 voxel_center_xy=self.voxel_centers,
                 gt_flow_bev=batch.gt_flow_bev_t0_t1,
-            )
-            pred_bw = decode(
+            ))
+            preds_bw.append(decode(
                 out_bw[it], thr, cfg=self.dcfg,
                 pc=batch.pcl_t1.pcl, rowcol=rc1, point_cells=cells1,
                 point_valid=batch.pcl_t1.valid,
                 filled_pillar_mask=occ1 > 0.5, inv_odom=batch.odom_t0_t1,
                 voxel_center_xy=self.voxel_centers,
                 gt_flow_bev=batch.gt_flow_bev_t1_t0,
-            )
+            ))
+        knn_fw_all = batched_knn_for_iterations(
+            preds_fw, batch.pcl_t0.pcl, batch.pcl_t0.valid,
+            batch.pcl_t1.pcl, batch.pcl_t1.valid, self.lcfg,
+        )
+        knn_bw_all = batched_knn_for_iterations(
+            preds_bw, batch.pcl_t1.pcl, batch.pcl_t1.valid,
+            batch.pcl_t0.pcl, batch.pcl_t0.valid, self.lcfg,
+        )
+
+        total = jnp.zeros(())
+        metrics = {}
+        for it in range(self.num_iters):
             it_loss, movavg, it_metrics = slim_loss_single_iteration(
-                pred_fw, pred_bw,
+                preds_fw[it], preds_bw[it],
                 batch.pcl_t0.pcl, batch.pcl_t0.valid,
                 batch.pcl_t1.pcl, batch.pcl_t1.valid,
                 movavg, self.lcfg, update_threshold=train,
+                knn_fw=knn_fw_all[it], knn_bw=knn_bw_all[it],
             )
             total = total + it_loss
-            last_pred = (pred_fw, pred_bw)
             if it == self.num_iters - 1:
                 metrics = it_metrics
+        last_pred = (preds_fw[-1], preds_bw[-1])
         return total, (new_batch_stats, movavg, metrics, last_pred)
 
     # ------------------------------------------------------------------

@@ -133,3 +133,70 @@ def test_movavg_supervised_mode():
     assert float(mov.moving_counter) > 1000  # counters grew
     thr = float(movavg_value(mov))
     assert 0.3 < thr < 0.5, thr
+
+
+def test_batched_knn_matches_per_call():
+    """flow_knn_multi / batched_knn_for_iterations must return exactly the
+    per-call flow_knn results (one kernel dispatch vs 36)."""
+    import numpy as np
+
+    from liso_tpu.losses.slim_loss import (
+        SlimLossCfg, flow_knn, flow_knn_multi,
+    )
+
+    rng = np.random.RandomState(0)
+    b, n = 2, 1024
+    pca = jnp.asarray(rng.uniform(-20, 20, (b, n, 4)).astype(np.float32))
+    pcb = jnp.asarray(rng.uniform(-20, 20, (b, n, 4)).astype(np.float32))
+    va = jnp.asarray(rng.rand(b, n) > 0.3)
+    vb = jnp.asarray(rng.rand(b, n) > 0.3)
+    flows = {
+        k: jnp.asarray(rng.normal(0, 0.5, (b, n, 3)).astype(np.float32))
+        for k in ("aggregated", "dynamic", "static_aggr")
+    }
+    multi = flow_knn_multi(pca, va, pcb, vb, flows, chunk=512)
+    for k, fl in flows.items():
+        w_ref, d_ref = flow_knn(pca, va, pcb, vb, fl, chunk=512)
+        w_got, d_got = multi[k]
+        np.testing.assert_array_equal(np.asarray(w_got), np.asarray(w_ref))
+        np.testing.assert_allclose(
+            np.asarray(d_got), np.asarray(d_ref), rtol=0, atol=1e-5
+        )
+
+
+def test_pallas_knn_concatenated_sets_exact():
+    """The banded kernel on concatenated query sets (the batched loss path)
+    must match per-set calls — chunk visit bands are per-chunk, so mixed
+    or straddling chunks stay exact (interpret mode)."""
+    import numpy as np
+
+    from liso_tpu.ops.knn_pallas import nn_1_sorted
+
+    rng = np.random.RandomState(1)
+    b, n = 1, 768  # NOT a multiple of the 512-query chunk: sets straddle
+    def cloud(seed):
+        r = np.random.RandomState(seed)
+        pts = r.uniform(-30, 30, (b, n, 3)).astype(np.float32)
+        pts = np.take_along_axis(
+            pts, np.argsort(pts[..., 0], axis=-1)[..., None], axis=1
+        )
+        valid = np.zeros((b, n), bool)
+        valid[:, : int(0.8 * n)] = True
+        return jnp.asarray(pts), jnp.asarray(valid)
+
+    refs, rv = cloud(2)
+    q1, v1 = cloud(3)
+    q2, v2 = cloud(4)
+    q_cat = jnp.concatenate([q1, q2], axis=1)
+    v_cat = jnp.concatenate([v1, v2], axis=1)
+    d_cat, i_cat = nn_1_sorted(q_cat, refs, v_cat, rv, 8.0, interpret=True)
+    d1, i1 = nn_1_sorted(q1, refs, v1, rv, 8.0, interpret=True)
+    d2, i2 = nn_1_sorted(q2, refs, v2, rv, 8.0, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(d_cat[:, :n]), np.asarray(d1), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_cat[:, n:]), np.asarray(d2), rtol=0, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(i_cat[:, :n]), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i_cat[:, n:]), np.asarray(i2))

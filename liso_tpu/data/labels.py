@@ -152,3 +152,100 @@ KITTI_MOVABLE_MAP = LabelMap(KITTI_IGNORE_NON_MOVABLE_CLASSMAPPING)
 NUSCENES_MOVABLE_MAP = LabelMap(NUSCENES_MOVABLE)
 WAYMO_MOVABLE_MAP = LabelMap(WAYMO_MOVABLE)
 AV2_MOVABLE_MAP = LabelMap(AV2_MOVABLE)
+
+
+# ---------------------------------------------------------------------------
+# Raw-index label maps (reference liso/datasets/labelmap/__init__.py:46-196
+# over liso/config/label_mappings.yml): per-dataset raw semantic-index
+# tables, merged-class aggregations (e.g. static/dynamic/ground for the
+# SLIM artificial labels), and per-class colors.
+# ---------------------------------------------------------------------------
+class RawLabelMap:
+    """ridx (raw per-point label index) <-> rname <-> mname (merged class)
+    <-> midx, plus an RGBA color per raw index."""
+
+    def __init__(self, ridx_rname: Dict[int, str],
+                 mname_rnames: Optional[Dict[str, Sequence[str]]] = None,
+                 colors: Optional[Dict] = None):
+        self.ridx_rname = {int(k): str(v) for k, v in ridx_rname.items()}
+        assert len(set(self.ridx_rname.values())) == len(self.ridx_rname)
+        self.rname_ridx = {v: k for k, v in self.ridx_rname.items()}
+        mname_rnames = dict(mname_rnames or {"ignore": []})
+        mname_rnames.setdefault("ignore", [])
+        # raw names not covered by any merged class map to themselves
+        covered = {r for rs in mname_rnames.values() for r in rs}
+        for rn in sorted(self.ridx_rname.values()):
+            if rn not in covered:
+                mname_rnames[rn] = [rn]
+        self.mname_rnames = mname_rnames
+        self.mnames = sorted(mname_rnames)
+        self.mname_midx = {m: i for i, m in enumerate(self.mnames)}
+        self.ridx_midx = {
+            self.rname_ridx[rn]: self.mname_midx[m]
+            for m, rns in mname_rnames.items()
+            for rn in rns
+            if rn in self.rname_ridx
+        }
+        # colors keyed by raw idx or raw name; default = evenly spaced hue
+        self.ridx_color: Dict[int, tuple] = {}
+        if colors:
+            for k, c in colors.items():
+                ridx = (
+                    int(k) if not isinstance(k, str) or k.isdigit()
+                    else self.rname_ridx.get(k)
+                )
+                if ridx is not None and ridx in self.ridx_rname:
+                    self.ridx_color[ridx] = tuple(
+                        float(x) / 255.0 for x in c
+                    )
+        for i, ridx in enumerate(sorted(self.ridx_rname)):
+            if ridx not in self.ridx_color:
+                t = i / max(len(self.ridx_rname) - 1, 1)
+                self.ridx_color[ridx] = (t, 1.0 - abs(2 * t - 1), 1.0 - t, 1.0)
+
+    def midx_of(self, raw_idx: np.ndarray) -> np.ndarray:
+        """[N] raw indices -> merged class indices (-1 for unknown raws)."""
+        lut = np.full(max(self.ridx_rname) + 1, -1, np.int32)
+        for r, m in self.ridx_midx.items():
+            lut[r] = m
+        raw = np.asarray(raw_idx, np.int64)
+        out = np.full(raw.shape, -1, np.int32)
+        ok = (raw >= 0) & (raw < len(lut))
+        out[ok] = lut[raw[ok]]
+        return out
+
+    def mnames_of(self, raw_idx: np.ndarray):
+        return [
+            self.mnames[m] if m >= 0 else "ignore"
+            for m in self.midx_of(raw_idx)
+        ]
+
+    def colors_of(self, raw_idx: np.ndarray) -> np.ndarray:
+        """[N] raw indices -> [N, 4] RGBA floats."""
+        arr = np.zeros((max(self.ridx_rname) + 2, 4), np.float32)
+        for r, c in self.ridx_color.items():
+            arr[r] = c
+        raw = np.clip(np.asarray(raw_idx, np.int64), 0, len(arr) - 1)
+        return arr[raw]
+
+
+def get_label_map_from_file(raw_map_name: str,
+                            aggregation_name: Optional[str] = None,
+                            color_map_name: Optional[str] = None,
+                            path=None) -> RawLabelMap:
+    """labelmap/__init__.get_label_map_from_file over
+    liso_tpu/config/label_mappings.yml."""
+    import functools
+    from pathlib import Path
+
+    import yaml
+
+    p = Path(path) if path else (
+        Path(__file__).parent.parent / "config" / "label_mappings.yml"
+    )
+    cfg = yaml.safe_load(open(p))
+    return RawLabelMap(
+        cfg["label_names"][raw_map_name],
+        cfg["label_aggregation"].get(aggregation_name),
+        cfg["label_colors"].get(color_map_name),
+    )

@@ -133,3 +133,38 @@ def test_collate_and_prefetcher():
     assert b["odom_t0_t1"].shape == (2, 4, 4)
     assert b["target_boxes"]["pos"].shape == (2, 8, 3)
     assert len(b["sample_id"]) == 2
+
+
+def test_raw_label_map_aggregations():
+    """Raw-index label maps (reference labelmap/__init__.py over
+    label_mappings.yml): nuScenes lidarseg indices -> static/dynamic/ground
+    merged classes + colors."""
+    import numpy as np
+
+    from liso_tpu.data.labels import get_label_map_from_file
+
+    lm = get_label_map_from_file(
+        "nuscenes", "nuscenes2static_dynamic_ground",
+        "nuscenes_static_dynamic_ground",
+    )
+    # 17=vehicle.car -> dynamic; 24=driveable_surface -> ground;
+    # 28=static.manmade -> static; 0=noise -> ignore; 99 unknown -> -1
+    raw = np.array([17, 24, 28, 0, 99])
+    names = lm.mnames_of(raw)
+    assert names == ["dynamic", "ground", "static", "ignore", "ignore"]
+    colors = lm.colors_of(np.array([17, 28, 24]))
+    assert colors.shape == (3, 4)
+    np.testing.assert_allclose(colors[0], (1, 0, 0, 1))  # car red
+    np.testing.assert_allclose(colors[1], (0, 1, 0, 1))  # manmade green
+    np.testing.assert_allclose(colors[2], (0, 0, 1, 1))  # road blue
+
+    # carla table with the generic static_dynamic_ground aggregation
+    lm2 = get_label_map_from_file("carla", "static_dynamic_ground")
+    assert lm2.mnames_of(np.array([10, 7, 1, 0])) == [
+        "dynamic", "ground", "static", "ignore"
+    ]
+    # raw names outside the aggregation map to themselves (reference
+    # _fill_mname_rname_dict_with_defaults)
+    lm3 = get_label_map_from_file("carla")
+    assert "car" in lm3.mnames
+    assert lm3.midx_of(np.array([10]))[0] == lm3.mname_midx["car"]

@@ -86,10 +86,25 @@ def main():
         _, _, x = jax.lax.fori_loop(0, iters, body, (fmap0, cn0, pts1))
         return x
 
-    jax.block_until_ready(run(pts0, valid, pts1, valid))  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(pts0, valid, pts1, valid))
-    dt = time.perf_counter() - t0
+    def timed():
+        jax.block_until_ready(run(pts0, valid, pts1, valid))  # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(pts0, valid, pts1, valid))
+        return time.perf_counter() - t0
+
+    try:
+        dt = timed()
+    except Exception as e:  # pragma: no cover - chip-side failure path
+        # fall back to the XLA gather lookup so the bench always lands a
+        # number even if the MXU one-hot path miscompiles on this chip
+        import os
+        import sys
+
+        print(f"mm-lookup path failed ({type(e).__name__}); retrying with "
+              "LISO_DISABLE_PALLAS_LOOKUP=1", file=sys.stderr)
+        os.environ["LISO_DISABLE_PALLAS_LOOKUP"] = "1"
+        jax.clear_caches()
+        dt = timed()
 
     fps = batch * iters / dt
     print(

@@ -407,23 +407,41 @@ class SmallUpdateBlock(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+def _upsample_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """[n_out, n_in] align-corners linear-interpolation weights (2 nonzeros
+    per row)."""
+    pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n_in - 1)
+    f = (pos - i0).astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    m = m.at[rows, i0].add(1.0 - f)
+    m = m.at[rows, i1].add(f)
+    return m
+
+
 def upsample_bilinear(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """xN bilinear upsample with align_corners=True semantics
     (raft_code/utils.py:upflow_n / uplogits_n use F.interpolate(...,
-    align_corners=True))."""
+    align_corners=True)).
+
+    Formulated as two dense interpolation matmuls (out = R x Cᵀ applied
+    per axis): separable bilinear is linear per axis, so this equals the
+    gather formulation, but it rides the MXU and — crucially for training —
+    its VJP is two transposed matmuls instead of the gathers' serializing
+    scatter-add. HIGHEST precision keeps the 2-term interpolation sums in
+    fp32."""
     b, h, w, c = x.shape
-    nh, nw = h * n, w * n
-    rows = jnp.linspace(0.0, h - 1.0, nh)
-    cols = jnp.linspace(0.0, w - 1.0, nw)
-    r0 = jnp.floor(rows).astype(jnp.int32)
-    c0 = jnp.floor(cols).astype(jnp.int32)
-    r1 = jnp.minimum(r0 + 1, h - 1)
-    c1 = jnp.minimum(c0 + 1, w - 1)
-    fr = (rows - r0)[None, :, None, None]
-    fc = (cols - c0)[None, None, :, None]
-    top = x[:, r0][:, :, c0] * (1 - fc) + x[:, r0][:, :, c1] * fc
-    bot = x[:, r1][:, :, c0] * (1 - fc) + x[:, r1][:, :, c1] * fc
-    return top * (1 - fr) + bot * fr
+    R = _upsample_matrix(h, h * n)
+    C = _upsample_matrix(w, w * n)
+    y = jnp.einsum(
+        "ph,bhwc->bpwc", R, x.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.einsum(
+        "qw,bpwc->bpqc", C, y, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 class RAFT(nn.Module):

@@ -353,3 +353,32 @@ def test_bf16_volume_build_equals_posthoc_cast():
         np.testing.assert_array_equal(
             np.asarray(a, np.float32), np.asarray(b, np.float32)
         )
+
+
+def test_matmul_upsample_matches_gather_formulation():
+    """The matmul upsample must equal the direct gather/lerp formulation of
+    align_corners=True bilinear interpolation (reference F.interpolate)."""
+    from liso_tpu.models.raft import upsample_bilinear
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 9, 3).astype(np.float32))
+    n = 8
+    got = upsample_bilinear(x, n)
+
+    b, h, w, c = x.shape
+    rows = np.linspace(0.0, h - 1.0, h * n)
+    cols = np.linspace(0.0, w - 1.0, w * n)
+    r0 = np.floor(rows).astype(int); r1 = np.minimum(r0 + 1, h - 1)
+    c0 = np.floor(cols).astype(int); c1 = np.minimum(c0 + 1, w - 1)
+    fr = (rows - r0)[None, :, None, None]
+    fc = (cols - c0)[None, None, :, None]
+    xn = np.asarray(x)
+    top = xn[:, r0][:, :, c0] * (1 - fc) + xn[:, r0][:, :, c1] * fc
+    bot = xn[:, r1][:, :, c0] * (1 - fc) + xn[:, r1][:, :, c1] * fc
+    want = top * (1 - fr) + bot * fr
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    # endpoints land exactly on the input samples (align_corners)
+    np.testing.assert_allclose(np.asarray(got)[:, 0, 0], xn[:, 0, 0],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got)[:, -1, -1], xn[:, -1, -1],
+                               rtol=1e-6, atol=1e-6)

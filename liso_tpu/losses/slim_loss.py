@@ -209,22 +209,35 @@ def batched_knn_for_iterations(preds, pca, va, pcb, vb, cfg: "SlimLossCfg"):
     slim_loss_single_iteration(knn_fw=...) consumes. Exact: the decode
     threshold is read once per step, so iterations are independent."""
     types = sorted(knn_flow_types(cfg))
+    keys = [
+        f"{it:02d}/{t}" for it in range(len(preds)) for t in types
+    ]
     flows = {
         f"{it:02d}/{t}": getattr(pred, f"{t}_flow")
         for it, pred in enumerate(preds)
         for t in types
     }
     res_multi = flow_knn_multi(pca, va, pcb, vb, flows, cfg.knn_chunk)
+    # one batched nearest_point_loss over all (iteration, type) sets: the
+    # outlier-quantile sort runs once on [B*S, N] instead of S times on
+    # [B, N] (rows stay per-(sample, set), so quantiles are unchanged)
+    b, n = va.shape
+    s = len(keys)
+    w_stack = jnp.stack([res_multi[k][0] for k in keys], axis=1)
+    d_stack = jnp.stack([res_multi[k][1] for k in keys], axis=1)
+    va_rep = jnp.broadcast_to(va[:, None], (b, s, n)).reshape(b * s, n)
+    loss_all = nearest_point_loss(
+        cfg.knn, cfg.bev_extent,
+        w_stack.reshape(b * s, n, 3), d_stack.reshape(b * s, n), va_rep,
+    ).reshape(b, s, n)
     out = []
     for it in range(len(preds)):
         res = {}
-        for t in types:
-            warped, d_sqr = res_multi[f"{it:02d}/{t}"]
+        for j, t in enumerate(types):
+            k = it * len(types) + j
             res[t] = {
-                "loss": nearest_point_loss(
-                    cfg.knn, cfg.bev_extent, warped, d_sqr, va
-                ),
-                "dist_sqr": d_sqr,
+                "loss": loss_all[:, k],
+                "dist_sqr": d_stack[:, k],
             }
         out.append(res)
     return out

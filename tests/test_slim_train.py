@@ -200,3 +200,55 @@ def test_pallas_knn_concatenated_sets_exact():
     )
     np.testing.assert_array_equal(np.asarray(i_cat[:, :n]), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(i_cat[:, n:]), np.asarray(i2))
+
+
+def test_batched_iterations_knn_matches_inline():
+    """batched_knn_for_iterations (one dispatch + one batched outlier sort
+    for all iterations x types) must reproduce the per-iteration inline kNN
+    losses exactly."""
+    import numpy as np
+
+    from liso_tpu.losses.slim_loss import (
+        SlimLossCfg, batched_knn_for_iterations, flow_knn, knn_flow_types,
+        nearest_point_loss,
+    )
+
+    cfg = SlimLossCfg()._replace(
+        bev_extent=(-20.0, -20.0, 20.0, 20.0),
+        use_static_aggr_flow_for_aggr_flow=True,
+        knn=SlimLossCfg().knn._replace(drop_outliers_perc=5.0),
+    )
+    rng = np.random.RandomState(0)
+    b, n = 2, 512
+
+    class P:
+        pass
+
+    preds = []
+    for _ in range(3):
+        p = P()
+        for t in ("aggregated", "dynamic", "static_aggr"):
+            setattr(p, f"{t}_flow", jnp.asarray(
+                rng.normal(0, 0.5, (b, n, 3)).astype(np.float32)))
+        preds.append(p)
+    pca = jnp.asarray(rng.uniform(-15, 15, (b, n, 4)).astype(np.float32))
+    pcb = jnp.asarray(rng.uniform(-15, 15, (b, n, 4)).astype(np.float32))
+    va = jnp.asarray(rng.rand(b, n) > 0.2)
+    vb = jnp.asarray(rng.rand(b, n) > 0.2)
+
+    batched = batched_knn_for_iterations(preds, pca, va, pcb, vb, cfg)
+    for it, pred in enumerate(preds):
+        for t in sorted(knn_flow_types(cfg)):
+            w_ref, d_ref = flow_knn(
+                pca, va, pcb, vb, getattr(pred, f"{t}_flow"), cfg.knn_chunk
+            )
+            l_ref = nearest_point_loss(cfg.knn, cfg.bev_extent, w_ref,
+                                       d_ref, va)
+            np.testing.assert_allclose(
+                np.asarray(batched[it][t]["dist_sqr"]), np.asarray(d_ref),
+                rtol=0, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched[it][t]["loss"]), np.asarray(l_ref),
+                rtol=1e-6, atol=1e-6,
+            )

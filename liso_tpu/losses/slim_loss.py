@@ -438,29 +438,41 @@ def slim_loss_single_iteration(
 
     # --- dynamicness-threshold update (slim_loss_adaptor.py:296-337)
     if cfg.use_static_aggr_flow_for_aggr_flow and update_threshold:
-        epes_stat = jnp.concatenate(
-            [
-                jnp.sqrt(knn_fw["static_aggr"]["dist_sqr"]).reshape(-1),
-                jnp.sqrt(knn_bw["static_aggr"]["dist_sqr"]).reshape(-1),
-            ]
-        )
-        epes_dyn = jnp.concatenate(
-            [
-                jnp.sqrt(knn_fw["dynamic"]["dist_sqr"]).reshape(-1),
-                jnp.sqrt(knn_bw["dynamic"]["dist_sqr"]).reshape(-1),
-            ]
-        )
-        dyn_scores = jnp.concatenate(
-            [pred_fw.dynamicness.reshape(-1), pred_bw.dynamicness.reshape(-1)]
-        )
-        valid_all = jnp.concatenate([valid1.reshape(-1), valid2.reshape(-1)])
         movavg = movavg_update(
             movavg,
-            jax.lax.stop_gradient(epes_stat),
-            jax.lax.stop_gradient(epes_dyn),
-            jax.lax.stop_gradient(dyn_scores),
-            valid_all,
+            *threshold_update_inputs(
+                pred_fw, pred_bw, knn_fw, knn_bw, valid1, valid2
+            ),
         )
 
     metrics["total_loss"] = total
     return total, movavg, metrics
+
+
+def threshold_update_inputs(pred_fw, pred_bw, knn_fw, knn_bw, valid1, valid2):
+    """The (epes_stat, epes_dyn, dynamicness, valid) flat arrays the
+    threshold update consumes (slim_loss_adaptor.py:296-337); exposed so
+    the trainer can batch all iterations' histograms into one pass
+    (models/slim.movavg_update_batched)."""
+    epes_stat = jnp.concatenate(
+        [
+            jnp.sqrt(knn_fw["static_aggr"]["dist_sqr"]).reshape(-1),
+            jnp.sqrt(knn_bw["static_aggr"]["dist_sqr"]).reshape(-1),
+        ]
+    )
+    epes_dyn = jnp.concatenate(
+        [
+            jnp.sqrt(knn_fw["dynamic"]["dist_sqr"]).reshape(-1),
+            jnp.sqrt(knn_bw["dynamic"]["dist_sqr"]).reshape(-1),
+        ]
+    )
+    dyn_scores = jnp.concatenate(
+        [pred_fw.dynamicness.reshape(-1), pred_bw.dynamicness.reshape(-1)]
+    )
+    valid_all = jnp.concatenate([valid1.reshape(-1), valid2.reshape(-1)])
+    return (
+        jax.lax.stop_gradient(epes_stat),
+        jax.lax.stop_gradient(epes_dyn),
+        jax.lax.stop_gradient(dyn_scores),
+        valid_all,
+    )

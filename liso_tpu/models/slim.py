@@ -129,6 +129,76 @@ def movavg_update(
     return state._replace(importance=importance, bias_counter=bias)
 
 
+def movavg_update_batched(
+    state: MovAvgState,
+    epes_stat: jnp.ndarray,  # [I, M] one row per RAFT iteration
+    epes_dyn: jnp.ndarray,  # [I, M]
+    dynamicness: jnp.ndarray,  # [I, M]
+    valid: jnp.ndarray,  # [I, M] bool
+    moving_mask: Optional[jnp.ndarray] = None,  # [I, M] supervised mode
+) -> MovAvgState:
+    """Sequence of movavg_update calls (one per row) with ONE batched
+    histogram pass: the sort + MXU scatter run once over [I, M] instead of
+    I times, and the EMA folds sequentially afterwards. Exact: the
+    supervised per-row class counters only change by per-row increments
+    that are known upfront (valid/moving are row-local), so the 1/count
+    weights equal the sequential ones."""
+    res = state.importance.shape[0]
+    n_iter = epes_stat.shape[0]
+    improvements = jnp.where(valid, epes_stat - epes_dyn, 0.0)
+    if moving_mask is not None:
+        mov_inc = (moving_mask & valid).sum(axis=-1).astype(jnp.float32)
+        still_inc = (~moving_mask & valid).sum(axis=-1).astype(jnp.float32)
+        mov_before = state.moving_counter + jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(mov_inc)[:-1]]
+        )
+        still_before = state.still_counter + jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(still_inc)[:-1]]
+        )
+        w = 1.0 / jnp.maximum(
+            jnp.where(
+                moving_mask, mov_before[:, None], still_before[:, None]
+            ),
+            1.0,
+        )
+        improvements = improvements * w
+        state = state._replace(
+            moving_counter=state.moving_counter + mov_inc.sum(),
+            still_counter=state.still_counter + still_inc.sum(),
+        )
+    bins = jnp.clip((dynamicness * res).astype(jnp.int32), 0, res - 1)
+    bins = jnp.where(valid, bins, res)
+    if jax.default_backend() == "tpu":
+        from liso_tpu.ops.grid_scatter_pallas import grid_reduce
+
+        res_pad = -(-res // 2048) * 2048
+        bins_s, vals_s = jax.lax.sort(
+            [bins, improvements], dimension=-1, num_keys=1
+        )
+        bins_s = jnp.where(
+            bins_s >= res, jnp.iinfo(jnp.int32).max, bins_s
+        )
+        hists = grid_reduce(
+            vals_s[..., None], bins_s, res_pad, "add"
+        )[:, :res, 0]
+    else:
+        hists = jax.vmap(
+            lambda imp, b: jax.ops.segment_sum(
+                imp, b, num_segments=res + 1
+            )[:res]
+        )(improvements, bins)
+    importance, bias = state.importance, state.bias_counter
+    for i in range(n_iter):
+        count = valid[i].sum().astype(jnp.float32)
+        one_minus_cur_w = -jnp.expm1(
+            count * jnp.log1p(-state.update_weight)
+        )
+        cur_w = 1.0 - one_minus_cur_w
+        importance = importance * cur_w + one_minus_cur_w * hists[i]
+        bias = bias * cur_w + one_minus_cur_w
+    return state._replace(importance=importance, bias_counter=bias)
+
+
 # ---------------------------------------------------------------------------
 class SlimModel(nn.Module):
     """Forward+backward RAFT over a BEV pillar encoding.

@@ -23,12 +23,14 @@ from liso_tpu.losses.slim_loss import (
     SlimLossCfg,
     batched_knn_for_iterations,
     slim_loss_single_iteration,
+    threshold_update_inputs,
 )
 from liso_tpu.models.pillar_encoder import pillar_coords
 from liso_tpu.models.slim import (
     MovAvgState,
     SlimModel,
     movavg_init,
+    movavg_update_batched,
     movavg_value,
 )
 from liso_tpu.models.slim_decoder import DecoderCfg, decode
@@ -228,17 +230,30 @@ class SlimTrainer:
 
         total = jnp.zeros(())
         metrics = {}
+        upd_inputs = []
+        do_thresh = train and self.lcfg.use_static_aggr_flow_for_aggr_flow
         for it in range(self.num_iters):
             it_loss, movavg, it_metrics = slim_loss_single_iteration(
                 preds_fw[it], preds_bw[it],
                 batch.pcl_t0.pcl, batch.pcl_t0.valid,
                 batch.pcl_t1.pcl, batch.pcl_t1.valid,
-                movavg, self.lcfg, update_threshold=train,
+                movavg, self.lcfg, update_threshold=False,
                 knn_fw=knn_fw_all[it], knn_bw=knn_bw_all[it],
             )
+            if do_thresh:
+                upd_inputs.append(threshold_update_inputs(
+                    preds_fw[it], preds_bw[it], knn_fw_all[it],
+                    knn_bw_all[it], batch.pcl_t0.valid, batch.pcl_t1.valid,
+                ))
             total = total + it_loss
             if it == self.num_iters - 1:
                 metrics = it_metrics
+        if upd_inputs:
+            # all iterations' threshold histograms in ONE sort+scatter pass
+            # (sequential EMA fold preserved exactly)
+            movavg = movavg_update_batched(
+                movavg, *(jnp.stack(a) for a in zip(*upd_inputs))
+            )
         last_pred = (preds_fw[-1], preds_bw[-1])
         return total, (new_batch_stats, movavg, metrics, last_pred)
 

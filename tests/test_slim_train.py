@@ -252,3 +252,45 @@ def test_batched_iterations_knn_matches_inline():
                 np.asarray(batched[it][t]["loss"]), np.asarray(l_ref),
                 rtol=1e-6, atol=1e-6,
             )
+
+
+def test_movavg_batched_matches_sequential():
+    """movavg_update_batched (one histogram pass for all iterations) must
+    equal sequential movavg_update calls — unsupervised and supervised."""
+    import numpy as np
+
+    from liso_tpu.models.slim import (
+        movavg_init, movavg_update, movavg_update_batched, movavg_value,
+    )
+
+    rng = np.random.RandomState(0)
+    n_iter, m = 4, 2048
+    es = jnp.asarray(rng.uniform(0, 2, (n_iter, m)).astype(np.float32))
+    ed = jnp.asarray(rng.uniform(0, 2, (n_iter, m)).astype(np.float32))
+    dyn = jnp.asarray(rng.uniform(0, 1, (n_iter, m)).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n_iter, m) > 0.3)
+    mov = jnp.asarray(rng.rand(n_iter, m) > 0.5)
+
+    for supervised in (False, True):
+        seq = movavg_init(10, num_still=777 if supervised else None)
+        for i in range(n_iter):
+            seq = movavg_update(
+                seq, es[i], ed[i], dyn[i], valid[i],
+                moving_mask=mov[i] if supervised else None,
+            )
+        bat = movavg_init(10, num_still=777 if supervised else None)
+        bat = movavg_update_batched(
+            bat, es, ed, dyn, valid, moving_mask=mov if supervised else None
+        )
+        np.testing.assert_allclose(
+            np.asarray(seq.importance), np.asarray(bat.importance),
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            float(seq.bias_counter), float(bat.bias_counter), rtol=1e-6
+        )
+        assert float(seq.moving_counter) == float(bat.moving_counter)
+        assert float(seq.still_counter) == float(bat.still_counter)
+        np.testing.assert_allclose(
+            float(movavg_value(seq)), float(movavg_value(bat)), rtol=1e-6
+        )

@@ -160,7 +160,7 @@ class SlimTrainer:
         return batch._replace(pcl_t0=pc0, pcl_t1=pc1), (perm0, perm1)
 
     def _forward_and_loss(self, params, batch_stats, movavg, batch: FlowSample,
-                          train: bool):
+                          train: bool, need_loss: bool = True):
         batch, _ = self._sort_batch(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
@@ -202,7 +202,8 @@ class SlimTrainer:
         # iteration x type x direction) — exact: `thr` is read once per
         # step, so iterations don't feed back into each other
         preds_fw, preds_bw = [], []
-        for it in range(self.num_iters):
+        iters = range(self.num_iters) if need_loss else [self.num_iters - 1]
+        for it in iters:
             preds_fw.append(decode(
                 out_fw[it], thr, cfg=self.dcfg,
                 pc=batch.pcl_t0.pcl, rowcol=rc0, point_cells=cells0,
@@ -219,6 +220,12 @@ class SlimTrainer:
                 voxel_center_xy=self.voxel_centers,
                 gt_flow_bev=batch.gt_flow_bev_t1_t0,
             ))
+        if not need_loss:
+            # flow export / box prediction: only the final iteration's
+            # decoded prediction is consumed — skip kNN + loss entirely
+            last_pred = (preds_fw[-1], preds_bw[-1])
+            return jnp.zeros(()), (new_batch_stats, movavg, {}, last_pred)
+
         knn_fw_all = batched_knn_for_iterations(
             preds_fw, batch.pcl_t0.pcl, batch.pcl_t0.valid,
             batch.pcl_t1.pcl, batch.pcl_t1.valid, self.lcfg,
@@ -290,7 +297,8 @@ class SlimTrainer:
         per-point outputs restored to the caller's point order (the
         forward pass runs on cell-sorted points)."""
         _, (_, _, _, last_pred) = self._forward_and_loss(
-            state.params, state.batch_stats, state.movavg, batch, train=False
+            state.params, state.batch_stats, state.movavg, batch,
+            train=False, need_loss=False,
         )
         _, (perm0, perm1) = self._sort_batch(batch)
         n0 = batch.pcl_t0.pcl.shape[1]

@@ -109,6 +109,8 @@ def main(argv=None):
         "waymo": ("VEHICLE", "PEDESTRIAN", "CYCLIST"),
         "av2": ("REGULAR_VEHICLE", "PEDESTRIAN", "BICYCLIST"),
     }.get(family)
+    from liso_tpu.utils.tb import TBFactory
+
     metrics = run_val(
         iter(loader), predict,
         moving_velocity_thresh=float(
@@ -118,6 +120,11 @@ def main(argv=None):
         movable_class_names=class_names,
         kitti_annotated_fov_filter=(family == "kitti"),
         max_batches=4 if args.fast_test else None,
+        writer=TBFactory(log_dir / "tb")("eval"),
+        log_images_num_batches=int(
+            getattr(cfg.logging, "max_log_img_batches", 2) or 2
+        ),
+        bev_range_m=tuple(cfg.data.bev_range_m),
     )
     for k in sorted(metrics):
         print(f"{k}: {metrics[k]:.4f}")

@@ -193,9 +193,39 @@ class SlimExperiment:
                 pts, flow_gt, np.asarray(batch["odom_t1_t0"][0]), thresh
             )
             fm.update(pts, flow_pred, flow_gt, is_moving, mask)
+            if i < 2:  # image summaries (experiment.py:731-770): flow RGB
+                # (pred | gt) side by side + a range image of the cloud
+                self._log_eval_images(step, i, pts, mask, flow_pred, flow_gt)
         out = fm.compute()
         self.tb("val", "flow/").add_scalars(out, step)
         return out
+
+    def _log_eval_images(self, step, i, pts, mask, flow_pred, flow_gt):
+        from liso_tpu.ops.bev import point_cell_ids
+        from liso_tpu.visu.bbox_image import render_pcl_range_image
+        from liso_tpu.visu.flow_image import flow_to_rgb
+
+        h, w = self.bev.grid_size
+        cell, _, _ = point_cell_ids(
+            jnp.asarray(pts[:, :2]), self.bev, jnp.asarray(mask)
+        )
+        panels = []
+        for fl in (flow_pred, flow_gt):
+            grid, _ = scatter_mean_grid(
+                jnp.asarray(fl[:, :2]), cell, self.bev.num_cells
+            )
+            panels.append(
+                flow_to_rgb(np.asarray(grid).reshape(h, w, 2))
+            )
+        wtr = self.tb("val", "images/")
+        wtr.add_image(
+            f"flow_pred_vs_gt/b{i}", np.concatenate(panels, axis=1), step
+        )
+        wtr.add_image(
+            f"range_image/b{i}",
+            render_pcl_range_image([pts[mask]])[0],
+            step,
+        )
 
     # ------------------------------------------------------------------
     def export_flow(

@@ -175,6 +175,21 @@ class LisoSelfTraining:
                     opt.rounds.confidence_threshold_mined_boxes
                 ),
             )
+        if self.cfg.network.name == "pointrcnn":
+            from liso_tpu.train.pointrcnn_train import PointRCNNTrainer
+
+            return PointRCNNTrainer(
+                self.bev,
+                max_lr=float(opt.learning_rate),
+                total_steps=steps,
+                nms_iou_threshold=float(self.cfg.nms_iou_threshold),
+                post_max_boxes=int(
+                    self.cfg.data.tracking_cfg.max_num_boxes_after_nms
+                ),
+                confidence_threshold=float(
+                    opt.rounds.confidence_threshold_mined_boxes
+                ),
+            )
         return DetectorTrainer(
             self.bev,
             network=self.cfg.network.name,

@@ -67,3 +67,34 @@ def test_pointrcnn_trains():
     out = net.apply({"params": params, "batch_stats": bs}, points, valid)
     fg = np.asarray(jax.nn.sigmoid(out["fg_logit"][0]))
     assert fg[-512:].mean() > fg[:-512].mean()
+
+
+def test_pointrcnn_trainer_step_and_predict():
+    """PointRCNNTrainer plugs into the rounds loop like the other trainers:
+    train_step reduces the loss, predict_step emits NMS'd Boxes."""
+    from tests.test_detector import make_boxes, scene_with_objects
+    from liso_tpu.ops.bev import BevSetup
+    from liso_tpu.train.pointrcnn_train import PointRCNNTrainer
+
+    rng = np.random.RandomState(0)
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    points = jnp.asarray(scene_with_objects(rng))[None]
+    valid = jnp.ones(points.shape[:2], bool)
+    tgt = make_boxes(
+        pos=[[5.0, 2.0, -1.0], [-8.0, -3.0, -1.0]],
+        dims=[[4.0, 2.0, 1.5]] * 2,
+        rot=[[0.0], [0.0]],
+        k=8,
+    ).with_defaults()
+    trainer = PointRCNNTrainer(bev, max_lr=1e-3, total_steps=100,
+                               confidence_threshold=0.0)
+    state = trainer.init_state(jax.random.PRNGKey(0), points, valid)
+    losses = []
+    for _ in range(30):
+        state, m = trainer.train_step(state, points, valid, tgt)
+        losses.append(float(m["loss/total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    pred = trainer.predict_step(state, points, valid)
+    assert np.asarray(pred.valid).any()
+    assert np.isfinite(np.asarray(pred.pos)).all()

@@ -26,12 +26,37 @@ def main(argv=None):
         return make_train_dataset(cfg, dcfg, args.fast_test, mined_db)
 
     loop = LisoSelfTraining(cfg, factory, val_ds, log_dir, data_cfg=dcfg)
+
+    start_step = 0
+    if args.load_checkpoint:
+        # resume: restore net+optimizer+step and the newest mined DBs
+        # (liso_cli.py:742-789); --finetune keeps only the weights
+        import jax
+        import jax.numpy as jnp
+
+        sample = train_ds[0]
+        pts = jnp.asarray(sample.frame_t0.pcl)[None]
+        valid = jnp.asarray(sample.frame_t0.valid)[None]
+        step = loop.restore(args.load_checkpoint, pts, valid)
+        if args.finetune:
+            loop.state = loop.state.replace(
+                step=jnp.zeros((), jnp.int32),
+                opt_state=loop.trainer.tx.init(loop.state.params),
+            )
+            loop.mined_db = None
+            loop._augm_db_final = None
+            print(f"finetune from step {step} (weights only)")
+        else:
+            start_step = step
+            print(f"resuming at step {step}")
+
     run_maybe_profiled(
         args,
         log_dir,
         lambda: loop.run(
             total_steps=int(cfg.optimization.num_training_steps),
             fast_test=args.fast_test,
+            start_step=start_step,
         ),
     )
     metrics = loop.validate(int(cfg.optimization.num_training_steps),

@@ -67,8 +67,8 @@ def main(argv=None):
         import jax.numpy as jnp
 
         sample = train_ds[0]
-        pts = jnp.asarray(sample.pcl_t0)[None]
-        valid = jnp.asarray(sample.valid_t0)[None]
+        pts = jnp.asarray(sample.frame_t0.pcl)[None]
+        valid = jnp.asarray(sample.frame_t0.valid)[None]
         step = loop.restore(args.load_checkpoint, pts, valid)
         loop.round_idx = 1  # force the detector mining path
         print(f"restored detector checkpoint at step {step}")

@@ -348,16 +348,20 @@ class LisoSelfTraining:
         pcl = np.array(batch["pcl_t0"])
         valid = np.array(batch["valid_t0"])
         targets = {k: np.array(v) for k, v in batch["target_boxes"].items()}
-        if (
-            self.augm_db is not None
-            and self.cfg.data.augmentation.boxes.active
-            and len(self.augm_db["boxes"]) > 0
-        ):
+        has_augm = self._augm_db_final is not None or (
+            self.augm_db is not None and len(self.augm_db["boxes"]) > 0
+        )
+        if has_augm and self.cfg.data.augmentation.boxes.active:
             if self._augm_db_final is None:  # stack once per mining round
                 from liso_tpu.tracker.dbs import finalize_augm_db
 
                 self._augm_db_final = finalize_augm_db(self.augm_db)
             db = self._augm_db_final
+            if len(db["boxes"].get("pos", ())) == 0:
+                db = None  # resume-loaded DB fully filtered: nothing to paste
+        else:
+            db = None
+        if db is not None:
             b, n_max = valid.shape
             for i in range(b):
                 base = pcl[i][valid[i]]
@@ -387,7 +391,12 @@ class LisoSelfTraining:
         return jnp.asarray(pcl), jnp.asarray(valid), boxes
 
     # ------------------------------------------------------------------
-    def run(self, total_steps: Optional[int] = None, fast_test: bool = False):
+    def run(self, total_steps: Optional[int] = None, fast_test: bool = False,
+            start_step: int = 0):
+        """start_step > 0 resumes mid-run (reference liso_cli.py:742-789:
+        step parsed from the checkpoint, mined DBs reused instead of
+        re-mined; optax schedules need no replay — pure functions of the
+        restored step)."""
         opt = self.cfg.optimization
         total_steps = total_steps or int(opt.num_training_steps)
         steps_per_round = (
@@ -401,7 +410,19 @@ class LisoSelfTraining:
         train_iter = None
         metrics_hist = []
 
-        for step in range(total_steps):
+        if start_step:
+            # resume mid-round: rebuild the loader from the restored DBs
+            # (mining re-triggers at the next round boundary)
+            self.round_idx = start_step // steps_per_round + 1
+            dataset = self.train_dataset_factory(self.mined_db)
+            loader = Prefetcher(
+                dataset,
+                batch_size=int(self.cfg.data.batch_size),
+                num_workers=int(self.cfg.data.num_workers) or 1,
+            )
+            train_iter = iter(loader)
+
+        for step in range(start_step, total_steps):
             if step % steps_per_round == 0:
                 self.mine(dataset)
                 if self.mined_db is not None and self.val_dataset is not None:
@@ -476,15 +497,33 @@ class LisoSelfTraining:
 
     def restore(self, ckpt_dir, example_pts, example_valid):
         """liso_cli.py:742-789 resume: restore the latest checkpoint into a
-        freshly-initialised state template."""
+        freshly-initialised state template, plus the newest mined/augm DBs
+        saved next to it (mined DBs ARE self-training state,
+        liso_cli.py:221-226 reuses existing DB files on resume)."""
         from liso_tpu.utils.checkpoint import latest_step, restore_checkpoint
 
+        ckpt_dir = Path(ckpt_dir)
         step = latest_step(ckpt_dir)
         assert step is not None, f"no checkpoints under {ckpt_dir}"
         template = self.trainer.init_state(
             jax.random.PRNGKey(0), example_pts, example_valid
         )
         self.state = restore_checkpoint(ckpt_dir, step, template)
+        rounds = sorted(
+            ckpt_dir.parent.glob("mined_round_*"),
+            key=lambda p: int(p.name.rsplit("_", 1)[-1]),
+        )
+        if rounds:
+            from liso_tpu.tracker.dbs import load_augm_db, load_mined_boxes_db
+
+            self.mined_db = load_mined_boxes_db(rounds[-1] / "tracked.npz")
+            try:
+                # loaded DBs are already in the finalized (stacked) form
+                self._augm_db_final = load_augm_db(
+                    rounds[-1] / "augm_db.npy"
+                )
+            except FileNotFoundError:
+                pass
         return step
 
     def validate(self, step: int, fast_test: bool = False):

@@ -45,3 +45,24 @@ def test_detector_checkpoint_roundtrip(tmp_path):
 
 def test_latest_step_empty(tmp_path):
     assert latest_step(tmp_path / "nope") is None
+
+
+def test_liso_cli_resume_and_finetune(tmp_path):
+    """Rounds-loop resume through the CLI (reference liso_cli.py:742-789):
+    --load_checkpoint continues at the restored step with the restored
+    mined DBs; --finetune keeps only the weights."""
+    from liso_tpu.cli.liso_cli import main
+
+    log1 = main(["--fast-test", "--summary_dir", str(tmp_path / "a")])
+    ckpts = log1 / "ckpts"
+    assert any(ckpts.iterdir())
+    log2 = main([
+        "--fast-test", "--summary_dir", str(tmp_path / "b"),
+        "--load_checkpoint", str(ckpts),
+    ])
+    assert log2.exists()
+    log3 = main([
+        "--fast-test", "--summary_dir", str(tmp_path / "c"),
+        "--load_checkpoint", str(ckpts), "--finetune",
+    ])
+    assert log3.exists()

@@ -38,7 +38,6 @@ def parse_cli_args(argv=None):
                    action="store_true")
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--worker_id", type=int, default=0)
-    p.add_argument("--keep_going_after_x_it", type=int, default=None)
     args = p.parse_args(argv)
     assert args.world_size > args.worker_id, (args.world_size, args.worker_id)
     return args

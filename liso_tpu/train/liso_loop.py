@@ -456,6 +456,7 @@ class LisoSelfTraining:
                     self.state = None
                 self.round_idx += 1
 
+            t_data0 = time.time()
             try:
                 batch = next(train_iter)
             except StopIteration:
@@ -463,20 +464,28 @@ class LisoSelfTraining:
                 batch = next(train_iter)
 
             pts, valid, target = self._prepare_batch(batch)
+            t_data = time.time() - t_data0
             if self.state is None:
                 self.state = self.trainer.init_state(
                     jax.random.PRNGKey(int(self.cfg.seed) + self.round_idx),
                     pts, valid,
                 )
+            t_fwd0 = time.time()
             self.state, metrics = self.trainer.train_step(
                 self.state, pts, valid, target
             )
             metrics_hist.append(float(metrics["loss/total"]))
+            t_fwdbwd = time.time() - t_fwd0  # loss read above syncs
             self.tb.global_step = step
             if step % int(self.cfg.logging.log_interval) == 0:
-                self.tb("train", "loss/").add_scalars(
+                w = self.tb("train", "loss/")
+                w.add_scalars(
                     {k: float(v) for k, v in metrics.items()}, step
                 )
+                # per-step wall-clock timers (liso_cli.py:621-633)
+                wt = self.tb("train", "timing/")
+                wt.add_scalar("dataloading_s", t_data, step)
+                wt.add_scalar("fwd_bwd_s", t_fwdbwd, step)
 
             if val_every and step > 0 and step % val_every == 0:
                 self.validate(step, fast_test)

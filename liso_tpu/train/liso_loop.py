@@ -541,6 +541,10 @@ class LisoSelfTraining:
         loader = Prefetcher(
             self.val_dataset, batch_size=1, shuffle=False, num_workers=2
         )
+        # cap mid-training validation like the reference's num_val_steps
+        # batches (liso_cli.py:665-684); 0/absent = full val set
+        num_val = int(getattr(self.cfg.validation, "num_val_steps", 0) or 0)
+        max_batches = 4 if fast_test else (num_val or None)
         trainer, state = self.trainer, self.state
 
         def predict(batch):
@@ -557,9 +561,7 @@ class LisoSelfTraining:
                 "valid": np.asarray(boxes.valid),
             }
 
-        metrics = run_val(
-            iter(loader), predict, max_batches=4 if fast_test else None
-        )
+        metrics = run_val(iter(loader), predict, max_batches=max_batches)
         self.tb("val", "detector/").add_scalars(
             {k: v for k, v in metrics.items()
              if k.startswith(("mAP", "AP_overall_overall", "ATE", "AOE"))},

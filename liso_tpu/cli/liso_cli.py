@@ -34,6 +34,9 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
+        from liso_tpu.utils.checkpoint import check_checkpoint_config_sanity
+
+        check_checkpoint_config_sanity(args.load_checkpoint, cfg)
         sample = train_ds[0]
         pts = jnp.asarray(sample.frame_t0.pcl)[None]
         valid = jnp.asarray(sample.frame_t0.valid)[None]

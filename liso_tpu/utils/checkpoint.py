@@ -43,3 +43,52 @@ def restore_checkpoint(ckpt_dir, step: int, target: Any) -> Any:
     init_state) used as the restore template."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(Path(ckpt_dir).absolute() / str(step), target)
+
+
+def check_checkpoint_config_sanity(ckpt_dir, cfg, keys=(
+    "network.name", "data.img_grid_size", "data.bev_range_m",
+)):
+    """The restored checkpoint must come from a compatible config
+    (reference networks/simple_net/simple_net_utils.py
+    load_checkpoint_check_sanity): compares the config.yml saved next to
+    the checkpoints against the current run's config on the
+    architecture-defining keys. Missing config.yml -> no-op (externally
+    produced checkpoints)."""
+    from pathlib import Path
+
+    import yaml
+
+    for cand in (Path(ckpt_dir) / "config.yml",
+                 Path(ckpt_dir).parent / "config.yml"):
+        if cand.exists():
+            saved = yaml.safe_load(open(cand))
+            break
+    else:
+        return True
+
+    def dig(tree, dotted):
+        node = tree
+        for part in dotted.split("."):
+            if isinstance(node, dict):
+                node = node.get(part)
+            else:
+                node = getattr(node, part, None)
+            if node is None:
+                return None
+        return node
+
+    def norm(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        return v
+
+    for dotted in keys:
+        want = norm(dig(saved, dotted))
+        got = norm(cfg.select(dotted) if hasattr(cfg, "select")
+                   else dig(cfg, dotted))
+        if want is not None and got is not None and want != got:
+            raise ValueError(
+                f"checkpoint config mismatch on {dotted}: "
+                f"checkpoint={want!r} vs current={got!r}"
+            )
+    return True

@@ -66,3 +66,31 @@ def test_liso_cli_resume_and_finetune(tmp_path):
         "--load_checkpoint", str(ckpts), "--finetune",
     ])
     assert log3.exists()
+
+
+def test_checkpoint_config_sanity(tmp_path):
+    """Restoring with an incompatible config must fail fast (reference
+    load_checkpoint_check_sanity)."""
+    import pytest
+    import yaml
+
+    from liso_tpu.cli.common import DEFAULT_CFG
+    from liso_tpu.utils.checkpoint import check_checkpoint_config_sanity
+    from liso_tpu.utils.config import parse_config
+
+    cfg = parse_config(str(DEFAULT_CFG), ["centerpoint"])
+    ckpts = tmp_path / "ckpts"
+    ckpts.mkdir()
+    from liso_tpu.utils.config import save_config
+
+    save_config(cfg, tmp_path / "config.yml")
+    assert check_checkpoint_config_sanity(ckpts, cfg)
+
+    other = parse_config(str(DEFAULT_CFG), ["transfusion"])
+    with pytest.raises(ValueError, match="network.name"):
+        check_checkpoint_config_sanity(ckpts, other)
+
+    # no config.yml anywhere -> no-op
+    isolated = tmp_path / "iso" / "ckpts"
+    isolated.mkdir(parents=True)
+    assert check_checkpoint_config_sanity(isolated, other)

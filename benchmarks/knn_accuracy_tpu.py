@@ -29,7 +29,6 @@ def main():
 
     interpret = jax.default_backend() != "tpu"  # CPU smoke: interpret mode
 
-    rng = np.random.RandomState(0)
     b, n = args.batch, args.n
 
     def cloud(seed):
@@ -53,7 +52,7 @@ def main():
     d = np.asarray(d)
     idx = np.asarray(idx)
 
-    total = matched = in_margin = 0
+    total = matched = 0
     for i in range(b):
         tree = cKDTree(r[i][rv[i]])
         ref_idx = np.flatnonzero(rv[i])
@@ -63,7 +62,6 @@ def main():
         true_i = ref_idx[ii]
         sel = dd <= args.margin  # contract: exact within the band margin
         total += sel.sum()
-        in_margin += sel.sum()
         ok = (got_i[sel] == true_i[sel]) | np.isclose(
             np.sqrt(got_d[sel]), dd[sel], atol=1e-3
         )

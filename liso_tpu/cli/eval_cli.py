@@ -121,8 +121,9 @@ def main(argv=None):
         kitti_annotated_fov_filter=(family == "kitti"),
         max_batches=4 if args.fast_test else None,
         writer=TBFactory(log_dir / "tb")("eval"),
+        # 0 disables image panels (headless bulk eval)
         log_images_num_batches=int(
-            getattr(cfg.logging, "max_log_img_batches", 2) or 2
+            getattr(cfg.logging, "max_log_img_batches", 2)
         ),
         bev_range_m=tuple(cfg.data.bev_range_m),
     )

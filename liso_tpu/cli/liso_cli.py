@@ -34,9 +34,6 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
-        from liso_tpu.utils.checkpoint import check_checkpoint_config_sanity
-
-        check_checkpoint_config_sanity(args.load_checkpoint, cfg)
         sample = train_ds[0]
         pts = jnp.asarray(sample.frame_t0.pcl)[None]
         valid = jnp.asarray(sample.frame_t0.valid)[None]
@@ -50,8 +47,11 @@ def main(argv=None):
             loop._augm_db_final = None
             print(f"finetune from step {step} (weights only)")
         else:
-            start_step = step
-            print(f"resuming at step {step}")
+            # the checkpoint was written AFTER training `step`: continue
+            # with the next one (re-running it would double-train the step
+            # and, at round boundaries, re-mine the completed round)
+            start_step = step + 1
+            print(f"resuming after step {step}")
 
     run_maybe_profiled(
         args,

@@ -80,28 +80,27 @@ def main(argv=None):
         n_boxes = sum(
             len(v["track_id"]) for v in (loop.mined_db or {}).values()
         )
-        # evaluate the mined DB through the run_val metrics path
+        # evaluate the mined DB through the run_val metrics path ON THE
+        # MINED (train) SPLIT — mined boxes only exist for train samples
         # (tracking eval = run_val with the DB as predictor,
         # liso_cli.py:294-315)
-        metrics = {}
-        if val_ds is not None or True:
-            from liso_tpu.data.pipeline import Prefetcher
-            from liso_tpu.eval.run_val import mined_db_predictor, run_val
+        from liso_tpu.data.pipeline import Prefetcher
+        from liso_tpu.eval.run_val import mined_db_predictor, run_val
 
-            loader = Prefetcher(
-                factory(None), batch_size=1, shuffle=False, num_workers=1
-            )
-            metrics = run_val(
-                iter(loader),
-                mined_db_predictor(loop.mined_db or {}),
-                max_batches=4 if args.fast_test else None,
-            )
-            headline = {
-                k: round(float(v), 4)
-                for k, v in metrics.items()
-                if k.startswith(("mAP", "AP_overall_overall"))
-            }
-            print("mined-box eval:", headline)
+        loader = Prefetcher(
+            factory(None), batch_size=1, shuffle=False, num_workers=1
+        )
+        metrics = run_val(
+            iter(loader),
+            mined_db_predictor(loop.mined_db or {}),
+            max_batches=4 if args.fast_test else None,
+        )
+        headline = {
+            k: round(float(v), 4)
+            for k, v in metrics.items()
+            if k.startswith(("mAP", "AP_overall_overall"))
+        }
+        print("mined-box eval:", headline)
         gif = _save_sequence_gif(loop, train_ds, log_dir)
         print(
             f"mined {n_boxes} boxes; DBs in "

@@ -71,16 +71,19 @@ def build_datasets(cfg, fast_test: bool, target: str = "flow"):
             getattr(cfg.data, "waymo_downsample_factor", 5) or 5
         )
         train = WaymoDataset(dcfg, root, downsample_factor=ds_factor)
+        # no val/ subdir -> val_ds=None like the KITTI branch (callers skip
+        # validation); silently validating on train frames would inflate
+        # the metrics that gate model selection
         val = _try(
             WaymoDataset, dcfg, root / "val", downsample_factor=ds_factor
-        ) or train
+        )
         return train, val, bev
     if source == "av2":
         from liso_tpu.data.waymo import AV2Dataset
 
         root = Path(cfg.data.paths.av2.local)
         train = AV2Dataset(dcfg, root)
-        return train, _try(AV2Dataset, dcfg, root / "val") or train, bev
+        return train, _try(AV2Dataset, dcfg, root / "val"), bev
     raise NotImplementedError(source)
 
 

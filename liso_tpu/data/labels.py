@@ -221,11 +221,14 @@ class RawLabelMap:
         ]
 
     def colors_of(self, raw_idx: np.ndarray) -> np.ndarray:
-        """[N] raw indices -> [N, 4] RGBA floats."""
+        """[N] raw indices -> [N, 4] RGBA floats (unknown/negative raws get
+        the zero 'unknown' row, not class 0's color)."""
         arr = np.zeros((max(self.ridx_rname) + 2, 4), np.float32)
         for r, c in self.ridx_color.items():
             arr[r] = c
-        raw = np.clip(np.asarray(raw_idx, np.int64), 0, len(arr) - 1)
+        raw = np.asarray(raw_idx, np.int64)
+        unknown = len(arr) - 1
+        raw = np.where((raw < 0) | (raw >= unknown), unknown, raw)
         return arr[raw]
 
 

@@ -349,6 +349,11 @@ def run_val(
             from liso_tpu.visu.bbox_image import log_box_movement
 
             pcl = np.asarray(batch["pcl_t0"])
+            if "valid_t0" in batch:
+                # padding points sit at (0,0) — push them off-grid or every
+                # panel gets a spurious ego-position blob
+                vm = np.asarray(batch["valid_t0"], bool)
+                pcl = np.where(vm[..., None], pcl, 1e9)
             log_box_movement(
                 writer=writer,
                 tag=f"val_images/batch{n - 1}",

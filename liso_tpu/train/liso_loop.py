@@ -411,9 +411,11 @@ class LisoSelfTraining:
         metrics_hist = []
 
         if start_step:
-            # resume mid-round: rebuild the loader from the restored DBs
-            # (mining re-triggers at the next round boundary)
-            self.round_idx = start_step // steps_per_round + 1
+            # resume mid-round: rebuild the loader from the restored DBs;
+            # mining re-triggers at the NEXT round boundary with the same
+            # round_idx a fresh run would have there (a boundary-aligned
+            # resume re-mines for the new round, not the completed one)
+            self.round_idx = -(-start_step // steps_per_round)
             dataset = self.train_dataset_factory(self.mined_db)
             loader = Prefetcher(
                 dataset,
@@ -511,7 +513,10 @@ class LisoSelfTraining:
         liso_cli.py:221-226 reuses existing DB files on resume)."""
         from liso_tpu.utils.checkpoint import latest_step, restore_checkpoint
 
+        from liso_tpu.utils.checkpoint import check_checkpoint_config_sanity
+
         ckpt_dir = Path(ckpt_dir)
+        check_checkpoint_config_sanity(ckpt_dir, self.cfg)
         step = latest_step(ckpt_dir)
         assert step is not None, f"no checkpoints under {ckpt_dir}"
         template = self.trainer.init_state(
@@ -522,17 +527,21 @@ class LisoSelfTraining:
             ckpt_dir.parent.glob("mined_round_*"),
             key=lambda p: int(p.name.rsplit("_", 1)[-1]),
         )
-        if rounds:
-            from liso_tpu.tracker.dbs import load_augm_db, load_mined_boxes_db
+        from liso_tpu.tracker.dbs import load_augm_db, load_mined_boxes_db
 
-            self.mined_db = load_mined_boxes_db(rounds[-1] / "tracked.npz")
+        # newest COMPLETE round wins; a round dir left half-written by an
+        # interrupted mine() must not make the run unresumable
+        for rd in reversed(rounds):
+            try:
+                self.mined_db = load_mined_boxes_db(rd / "tracked.npz")
+            except (FileNotFoundError, OSError, ValueError):
+                continue
             try:
                 # loaded DBs are already in the finalized (stacked) form
-                self._augm_db_final = load_augm_db(
-                    rounds[-1] / "augm_db.npy"
-                )
-            except FileNotFoundError:
+                self._augm_db_final = load_augm_db(rd / "augm_db.npy")
+            except (FileNotFoundError, OSError, ValueError):
                 pass
+            break
         return step
 
     def validate(self, step: int, fast_test: bool = False):

@@ -127,6 +127,14 @@ class SlimExperiment:
         step = latest_step(ckpt_dir)
         if step is None or self.state is None:
             return
+        from liso_tpu.utils.checkpoint import check_checkpoint_config_sanity
+
+        # fail fast on incompatible checkpoints instead of an opaque
+        # orbax shape mismatch (reference load_checkpoint_check_sanity)
+        check_checkpoint_config_sanity(
+            ckpt_dir, self.cfg,
+            keys=("data.img_grid_size", "data.bev_range_m"),
+        )
         self.state = restore_checkpoint(ckpt_dir, step, self.state)
 
     # ------------------------------------------------------------------

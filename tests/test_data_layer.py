@@ -168,3 +168,17 @@ def test_raw_label_map_aggregations():
     lm3 = get_label_map_from_file("carla")
     assert "car" in lm3.mnames
     assert lm3.midx_of(np.array([10]))[0] == lm3.mname_midx["car"]
+
+
+def test_raw_label_map_unknown_color_is_zero():
+    import numpy as np
+
+    from liso_tpu.data.labels import get_label_map_from_file
+
+    lm = get_label_map_from_file(
+        "nuscenes", color_map_name="nuscenes_static_dynamic_ground"
+    )
+    colors = lm.colors_of(np.array([-1, 9999, 17]))
+    np.testing.assert_allclose(colors[0], (0, 0, 0, 0))  # ignore -> zero row
+    np.testing.assert_allclose(colors[1], (0, 0, 0, 0))
+    np.testing.assert_allclose(colors[2], (1, 0, 0, 1))  # car stays red

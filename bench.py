@@ -15,14 +15,32 @@ import numpy as np
 
 
 def main():
+    import os
+    import sys
+
     import jax
+
+    try:
+        devices = jax.devices()
+    except RuntimeError as e:  # TPU pool outage: re-exec on CPU so the
+        # round-end bench still lands a (clearly-labeled) number
+        if os.environ.get("LISO_BENCH_CPU_FALLBACK"):
+            raise
+        print(f"backend init failed ({e}); re-running on CPU",
+              file=sys.stderr)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["LISO_BENCH_CPU_FALLBACK"] = "1"
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
     import jax.numpy as jnp
 
     from liso_tpu.models.box_learner import BoxLearner
     from liso_tpu.models.slim import SlimModel
     from liso_tpu.ops.bev import BevSetup
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    on_tpu = any(d.platform == "tpu" for d in devices)
     if on_tpu:
         grid, n_pts, batch = 512, 32768, 8
     else:  # CPU smoke fallback so the bench always produces a number

@@ -16,33 +16,16 @@ import numpy as np
 from liso_tpu.cli.common import (load_cfg_make_logdir, parse_cli_args,
                                   run_maybe_profiled)
 from liso_tpu.cli.slim_cli import build_datasets, make_train_dataset
-from liso_tpu.train.liso_loop import LisoSelfTraining, frames_from_dataset
+from liso_tpu.train.liso_loop import LisoSelfTraining
 
 
 def _save_sequence_gif(loop, dataset, log_dir, max_frames: int = 20):
-    """Tracked-boxes GIF of the first sequence (tracking.py:365-500 logs
-    these as animated TB summaries)."""
-    from liso_tpu.eval.run_val import mined_db_predictor
-    from liso_tpu.visu.bbox_image import render_frame, save_tracking_gif
+    """Tracked-boxes GIF of the first sequence on disk (the mine() call
+    also logs the same frames as an animated TB summary,
+    tracking.py:365-500)."""
+    from liso_tpu.visu.bbox_image import save_tracking_gif
 
-    seq = loop._sequences(dataset)[0][:max_frames]
-    frames = frames_from_dataset(dataset, seq)
-    predict = mined_db_predictor(loop.mined_db or {})
-    images = []
-    for f in frames:
-        pred = predict({"sample_id": [f.sample_id]})
-        v = pred["valid"][0]
-        boxes = {
-            k: np.asarray(x[0])[v] for k, x in pred.items() if k != "valid"
-        }
-        images.append(
-            render_frame(
-                np.asarray(f.pcl)[np.asarray(f.valid, bool)][:, :2],
-                boxes if len(boxes["pos"]) else None,
-                loop.bev.bev_range_m,
-                grid_hw=(256, 256),
-            )
-        )
+    images = loop.render_sequence_frames(dataset, max_frames=max_frames)
     if images:
         return save_tracking_gif(images, log_dir / "tracked_sequence.gif")
     return None

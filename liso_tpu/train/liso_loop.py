@@ -326,11 +326,47 @@ class LisoSelfTraining:
             grid_of_snippets(augm, num_boxes=16, per_row=4)
         ):
             w.add_image(f"augm_db/snippets_{pi}", page, self.round_idx)
+        # animated tracked-sequence summary (tracking.py:417-473)
+        w.add_gif(
+            "tracked_sequence",
+            self.render_sequence_frames(dataset, max_frames=12),
+            self.round_idx,
+        )
         w.add_scalar("mining_time_s", time.time() - t0, self.round_idx)
         print(
             f"round {self.round_idx}: mined {n_boxes} boxes over {n_seqs} "
             f"sequences in {time.time() - t0:.0f}s"
         )
+
+    def render_sequence_frames(
+        self, dataset: LidarDataset, max_frames: int = 20, grid_hw=(256, 256)
+    ):
+        """BEV frames of the first sequence with the mined boxes drawn
+        (consumed by the TB GIF summary and the mining CLI)."""
+        from liso_tpu.eval.run_val import mined_db_predictor
+        from liso_tpu.visu.bbox_image import render_frame
+
+        seq = self._sequences(dataset)[0][:max_frames]
+        frames = frames_from_dataset(dataset, seq)
+        predict = mined_db_predictor(self.mined_db or {})
+        images = []
+        for f in frames:
+            pred = predict({"sample_id": [f.sample_id]})
+            v = pred["valid"][0]
+            boxes = {
+                k: np.asarray(x[0])[v]
+                for k, x in pred.items()
+                if k != "valid"
+            }
+            images.append(
+                render_frame(
+                    np.asarray(f.pcl)[np.asarray(f.valid, bool)][:, :2],
+                    boxes if len(boxes["pos"]) else None,
+                    self.bev.bev_range_m,
+                    grid_hw=grid_hw,
+                )
+            )
+        return images
 
     def _sequences(self, dataset: LidarDataset) -> List[List[int]]:
         try:

@@ -58,5 +58,45 @@ class _PrefixedWriter:
         step = self._factory.global_step if global_step is None else global_step
         self._w.add_image(self._prefix + tag, img, step, dataformats=dataformats)
 
+    def add_gif(self, tag, frames, global_step=None, fps: int = 5):
+        """Animated-GIF image summary via a raw Summary.Image proto with
+        GIF-encoded bytes (reference tracker/tracking.py:417-473 — TB
+        renders animated GIFs in the images tab). frames: list of
+        [H, W, 3] floats in [0, 1]. Degrades to the last frame as a
+        static image if the proto path is unavailable."""
+        step = self._factory.global_step if global_step is None else global_step
+        if not frames:
+            return
+        try:
+            import io
+
+            import numpy as np
+            from PIL import Image
+            from tensorboard.compat.proto.summary_pb2 import Summary
+
+            imgs = [
+                Image.fromarray(
+                    (np.clip(f, 0, 1) * 255).astype(np.uint8)
+                )
+                for f in frames
+            ]
+            buf = io.BytesIO()
+            imgs[0].save(
+                buf, format="GIF", save_all=True, append_images=imgs[1:],
+                duration=int(1000 / fps), loop=0,
+            )
+            image = Summary.Image(
+                height=imgs[0].height,
+                width=imgs[0].width,
+                colorspace=3,
+                encoded_image_string=buf.getvalue(),
+            )
+            summary = Summary(
+                value=[Summary.Value(tag=self._prefix + tag, image=image)]
+            )
+            self._w._get_file_writer().add_summary(summary, step)
+        except Exception:
+            self.add_image(tag, frames[-1], step)
+
     def flush(self):
         getattr(self._w, "flush", lambda: None)()

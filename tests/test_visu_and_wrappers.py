@@ -276,3 +276,31 @@ def test_render_gt_boxes_with_predicted_logits():
     )
     assert img.shape == (2, 64, 64, 3)
     assert img.max() > 0
+
+
+def test_add_gif_writes_image_summary(tmp_path):
+    """TBFactory.add_gif writes an animated-GIF image summary readable by
+    the TB event loader (reference tracking.py:417-473 protobuf path)."""
+    import glob
+    import os
+
+    from liso_tpu.utils.tb import TBFactory
+
+    frames = [np.random.RandomState(i).rand(16, 16, 3) for i in range(3)]
+    fac = TBFactory(tmp_path)
+    w = fac("mine", "mining/")
+    w.add_gif("tracked_sequence", frames, 1)
+    w.flush()
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    ev = glob.glob(str(tmp_path / "mine" / "events*"))
+    assert ev
+    acc = EventAccumulator(os.path.dirname(ev[0]), size_guidance={"images": 0})
+    acc.Reload()
+    imgs = acc.Tags().get("images", [])
+    assert "mining/tracked_sequence" in imgs
+    # the stored bytes are an actual GIF (animated payload)
+    blob = acc.Images("mining/tracked_sequence")[0].encoded_image_string
+    assert blob[:6] in (b"GIF87a", b"GIF89a")

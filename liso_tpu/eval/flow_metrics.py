@@ -14,17 +14,25 @@ CATEGORIES = ("still", "moving", "overall")
 
 
 def inlier_outlier_ratios(pred_flow, gt_flow, mask) -> Dict[str, float]:
-    """slim/utils/metrics.get_inlier_outlier_ratios semantics: standard
-    scene-flow accuracy metrics (FlowNet3D convention)."""
+    """slim/utils/metrics.get_inlier_outlier_ratios semantics (verified
+    value-exact against the reference in
+    tests/test_reference_metric_parity.py): AccS/AccR are abs-OR-rel
+    inlier ratios; Outliers is abs-OR-rel (NOT the KITTI abs-AND-rel
+    convention — the reference calls that one RobustOutliers, with 0.3/0.3
+    thresholds)."""
     epe = np.linalg.norm(pred_flow - gt_flow, axis=-1)
     gt_len = np.linalg.norm(gt_flow, axis=-1)
-    rel = epe / np.maximum(gt_len, 1e-6)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel = epe / gt_len  # inf/nan exactly like the reference division
     n = max(int(np.count_nonzero(mask)), 1)
     return {
         "AccS": float(np.count_nonzero(((epe < 0.05) | (rel < 0.05)) & mask)) / n,
         "AccR": float(np.count_nonzero(((epe < 0.1) | (rel < 0.1)) & mask)) / n,
-        "Outliers": float(np.count_nonzero(((epe > 0.3) & (rel > 0.1)) & mask))
+        "Outliers": float(np.count_nonzero(((epe > 0.3) | (rel > 0.1)) & mask))
         / n,
+        "RobustOutliers": float(
+            np.count_nonzero(((epe > 0.3) & (rel > 0.3)) & mask)
+        ) / n,
     }
 
 
@@ -39,7 +47,8 @@ class FlowMetrics:
         self.total_aee = {c: 0.0 for c in CATEGORIES}
         self.total_pts = {c: 0 for c in CATEGORIES}
         self.acc_sums = {
-            c: {"AccS": 0.0, "AccR": 0.0, "Outliers": 0.0, "n": 0}
+            c: {"AccS": 0.0, "AccR": 0.0, "Outliers": 0.0,
+                "RobustOutliers": 0.0, "n": 0}
             for c in CATEGORIES
         }
 
@@ -63,7 +72,7 @@ class FlowMetrics:
             self.total_pts[c] = tot
             r = inlier_outlier_ratios(flow_pred, flow_gt, m)
             s = self.acc_sums[c]
-            for k in ("AccS", "AccR", "Outliers"):
+            for k in ("AccS", "AccR", "Outliers", "RobustOutliers"):
                 s[k] += r[k] * n
             s["n"] += n
             for b in range(len(self.range_bins) - 1):
@@ -83,6 +92,6 @@ class FlowMetrics:
         for c in CATEGORIES:
             out[f"AEE_{c}"] = float(self.total_aee[c])
             n = max(self.acc_sums[c]["n"], 1)
-            for k in ("AccS", "AccR", "Outliers"):
+            for k in ("AccS", "AccR", "Outliers", "RobustOutliers"):
                 out[f"{k}_{c}"] = self.acc_sums[c][k] / n
         return out

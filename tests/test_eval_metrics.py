@@ -101,7 +101,13 @@ def test_flow_metrics_epe():
     out = fm.compute()
     assert abs(out["AEE_overall"] - 0.05 * np.sqrt(3)) < 0.01
     assert out["AccR_overall"] > 0.99  # 0.087 < 0.1
-    assert out["Outliers_overall"] < 0.01
+    # reference Outliers3D is abs-OR-rel: the still half has gt flow 0, so
+    # rel error is inf and every still point counts as an outlier — the
+    # moving half doesn't (rel 0.043, abs 0.087)
+    assert abs(out["Outliers_overall"] - 0.5) < 0.01
+    assert out["Outliers_moving"] < 0.01
+    # RobustOutliers (abs-AND-rel at 0.3/0.3) stays clean: abs 0.087 < 0.3
+    assert out["RobustOutliers_overall"] < 0.01
     assert abs(out["AEE_moving"] - out["AEE_still"]) < 0.01
 
 

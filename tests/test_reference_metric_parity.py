@@ -97,3 +97,171 @@ def test_ap_values_match_reference_implementation(tmp_path, use_slow):
             )
             checked += 1
     assert checked == 12
+
+
+def test_weighted_kabsch_matches_reference():
+    """ops/kabsch.weighted_kabsch vs the reference's torch
+    weighted_pc_alignment (fp64 symm-ortho) on random weighted clouds."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.slim.slim_loss.weighted_pc_alignment import (
+        weighted_pc_alignment,
+    )
+
+    from liso_tpu.ops.kabsch import weighted_kabsch
+
+    rng = np.random.RandomState(0)
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        n = 64
+        x = r.uniform(-10, 10, (n, 3))
+        ang = r.uniform(-1, 1)
+        R = np.array([
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ])
+        t = r.uniform(-2, 2, 3)
+        y = x @ R.T + t + r.normal(0, 0.05, (n, 3))
+        w = r.uniform(0, 1, n)
+
+        T_ref, nep_ref = weighted_pc_alignment(
+            torch.tensor(x), torch.tensor(y), torch.tensor(w)
+        )
+        T_ours, nep_ours = weighted_kabsch(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.asarray(w, jnp.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(T_ours)[:3], T_ref.numpy()[:3], rtol=0, atol=2e-4
+        )
+        assert bool(nep_ours) == bool(nep_ref)
+
+
+def test_greedy_matcher_matches_reference():
+    """tracker/matching.greedy_match_by_confidence vs the reference's
+    slow_greedy_match_boxes_by_desending_confidence_by_dist — identical
+    matched pairs and masks."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    from liso.kabsch.box_groundtruth_matching import (
+        slow_greedy_match_boxes_by_desending_confidence_by_dist as ref_match,
+    )
+
+    from liso_tpu.tracker.matching import greedy_match_by_confidence
+
+    for seed in range(5):
+        r = np.random.RandomState(seed)
+        gt = r.uniform(-20, 20, (6, 3))
+        pred = r.uniform(-20, 20, (9, 3))
+        conf = r.uniform(0, 1, 9)
+        ig, ip, dists, pm, gm = ref_match(gt, pred, conf, 4.0, match_in_nd=3)
+        ours = greedy_match_by_confidence(gt, pred, conf, 4.0, match_in_nd=3)
+        order_ref = np.argsort(ip)
+        order_ours = np.argsort(ours.idxs_pred)
+        np.testing.assert_array_equal(
+            np.asarray(ig)[order_ref], ours.idxs_gt[order_ours]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ip)[order_ref], ours.idxs_pred[order_ours]
+        )
+        np.testing.assert_array_equal(pm, ours.matched_preds_mask)
+        np.testing.assert_array_equal(gm, ours.matched_gts_mask)
+
+
+def test_box_fit_closeness_matches_reference():
+    """tracker/box_fitting.fit_2d_box('closeness_to_edge') vs the
+    reference's MODEST-derived fit — same rectangle (corner sets equal)."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    from liso.box_fitting.box_fitting import fit_2d_box_modest
+
+    from liso_tpu.tracker.box_fitting import fit_2d_box
+
+    def corners(center, l, w, yaw):
+        c, s = np.cos(yaw), np.sin(yaw)
+        Rm = np.array([[c, -s], [s, c]])
+        pts = np.array([
+            [l / 2, w / 2], [-l / 2, w / 2], [-l / 2, -w / 2], [l / 2, -w / 2]
+        ])
+        return pts @ Rm.T + np.asarray(center)[:2]
+
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        # rectangle-ish cluster
+        l_true, w_true = 4.2, 1.9
+        yaw_true = r.uniform(0, np.pi / 2)
+        n = 160
+        edge = r.randint(0, 4, n)
+        u = r.uniform(-0.5, 0.5, n)
+        pts = np.zeros((n, 2))
+        pts[edge == 0] = np.stack(
+            [u[edge == 0] * l_true, np.full((edge == 0).sum(), w_true / 2)], -1
+        )
+        pts[edge == 1] = np.stack(
+            [u[edge == 1] * l_true, np.full((edge == 1).sum(), -w_true / 2)], -1
+        )
+        pts[edge == 2] = np.stack(
+            [np.full((edge == 2).sum(), l_true / 2), u[edge == 2] * w_true], -1
+        )
+        pts[edge == 3] = np.stack(
+            [np.full((edge == 3).sum(), -l_true / 2), u[edge == 3] * w_true], -1
+        )
+        c, s = np.cos(yaw_true), np.sin(yaw_true)
+        pts = pts @ np.array([[c, -s], [s, c]]).T + r.uniform(-5, 5, 2)
+        pts3 = np.concatenate([pts, np.zeros((n, 1))], -1)
+
+        center_ref, l_ref, w_ref, ry_ref = fit_2d_box_modest(
+            pts3, "closeness_to_edge"
+        )
+        c_ours, l_ours, w_ours, yaw_ours = fit_2d_box(
+            jnp.asarray(pts, jnp.float32), jnp.ones(n, bool),
+            method="closeness_to_edge",
+        )
+        ref_corners = corners(center_ref, l_ref, w_ref, ry_ref)
+        our_corners = corners(
+            np.asarray(c_ours), float(l_ours), float(w_ours), float(yaw_ours)
+        )
+        # corner sets equal regardless of vertex ordering / 90-deg flips
+        d = np.linalg.norm(
+            ref_corners[:, None] - our_corners[None], axis=-1
+        )
+        assert d.min(axis=1).max() < 0.15, d.min(axis=1)
+
+
+def test_flow_inlier_outlier_ratios_match_reference():
+    """eval/flow_metrics inlier/outlier ratios vs the reference's
+    slim/utils/metrics.get_inlier_outlier_ratios."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    from liso.slim.utils.metrics import (
+        compute_scene_flow_metrics_for_points_in_this_mask as ref_fn,
+    )
+
+    from liso_tpu.eval.flow_metrics import inlier_outlier_ratios
+
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        n = 512
+        gt = r.normal(0, 1.0, (n, 3))
+        pred = gt + r.normal(0, 0.2, (n, 3))
+        mask = r.rand(n) > 0.3
+        ref = ref_fn(pred, gt, mask)
+        ours = inlier_outlier_ratios(pred, gt, mask)
+        np.testing.assert_allclose(ours["AccS"], ref["ACC3D_0_05"],
+                                   rtol=1e-9)
+        np.testing.assert_allclose(ours["AccR"], ref["ACC3D_0_1"],
+                                   rtol=1e-9)
+        np.testing.assert_allclose(ours["Outliers"], ref["Outliers3D"],
+                                   rtol=1e-9)
+        np.testing.assert_allclose(
+            float(np.linalg.norm(pred - gt, axis=-1)[mask].mean()),
+            ref["AEE"], rtol=1e-9,
+        )

@@ -265,3 +265,47 @@ def test_flow_inlier_outlier_ratios_match_reference():
             float(np.linalg.norm(pred - gt, axis=-1)[mask].mean()),
             ref["AEE"], rtol=1e-9,
         )
+
+
+def test_track_smoothing_matches_reference():
+    """tracker/smoothing.smooth_track_jerk vs the reference's torch Adam
+    jerk smoother on the same noisy trajectory — both minimize the same
+    (convex-ish) jerk + observation objective, so the converged smoothed
+    positions must agree."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.tracker.track_smoothing import smooth_track_jerk as ref_smooth
+
+    from liso_tpu.tracker.smoothing import smooth_track_jerk as our_smooth
+
+    r = np.random.RandomState(0)
+    t = 12
+    ts = np.arange(t, dtype=np.float64)
+    truth = np.stack([2.0 * ts, 0.05 * ts**2, np.zeros(t)], -1)
+    obs = truth + r.normal(0, 0.3, truth.shape)
+    yaw = r.normal(0, 0.1, (t, 1))
+    valid = np.ones(t, bool)
+
+    ref_pos, _, _ = ref_smooth(
+        torch.tensor(obs[None], dtype=torch.float32),
+        torch.tensor(valid[None]),
+        torch.tensor(yaw[None], dtype=torch.float32),
+        time_between_frames_s=0.1,
+        max_iters=2000,
+    )
+    our_pos, _, _ = our_smooth(
+        jnp.asarray(obs[None], jnp.float32),
+        jnp.asarray(valid[None]),
+        jnp.asarray(yaw[None], jnp.float32),
+        max_iters=2000,
+    )
+    ref_np = ref_pos.detach().numpy()[0]
+    our_np = np.asarray(our_pos)[0]
+    # same optimum within optimizer noise; both clearly denoise vs raw obs
+    assert np.abs(ref_np - our_np).max() < 0.15, np.abs(ref_np - our_np).max()
+    err_ours = np.linalg.norm(our_np[:, :2] - truth[:, :2], axis=-1).mean()
+    err_obs = np.linalg.norm(obs[:, :2] - truth[:, :2], axis=-1).mean()
+    assert err_ours < err_obs

@@ -309,3 +309,45 @@ def test_track_smoothing_matches_reference():
     err_ours = np.linalg.norm(our_np[:, :2] - truth[:, :2], axis=-1).mean()
     err_obs = np.linalg.norm(obs[:, :2] - truth[:, :2], axis=-1).mean()
     assert err_ours < err_obs
+
+
+def test_gaussian_centermap_matches_reference():
+    """data/centermaps.render_gaussian_heatmaps vs the reference's
+    batched_render_gaussian_kabsch_mask (peak-normalised variant used for
+    the centermap targets)."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    from liso.kabsch.kabsch_mask import batched_render_gaussian_kabsch_mask
+
+    from liso_tpu.data.centermaps import render_gaussian_heatmaps
+    from liso_tpu.ops.bev import BevSetup, voxel_center_coords
+    from liso_tpu.ops.boxes import Boxes
+
+    r = np.random.RandomState(0)
+    k = 3
+    pos = np.concatenate(
+        [r.uniform(-15, 15, (k, 2)), np.zeros((k, 1))], -1
+    ).astype(np.float32)
+    dims = r.uniform(1.5, 4.5, (k, 3)).astype(np.float32)
+    rot = r.uniform(-3, 3, (k, 1)).astype(np.float32)
+
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    ref = batched_render_gaussian_kabsch_mask(
+        box_x=pos[None, :, 0], box_y=pos[None, :, 1],
+        box_len=dims[None, :, 0], box_w=dims[None, :, 1],
+        box_theta=rot[None, :, 0],
+        bev_range_x=40.0, bev_range_y=40.0, img_shape=(64, 64),
+        normalize_gaussian=False,  # the centermap-target variant
+    )
+
+    boxes = Boxes(
+        pos=jnp.asarray(pos)[None], dims=jnp.asarray(dims)[None],
+        rot=jnp.asarray(rot)[None],
+        probs=jnp.ones((1, k, 1)), valid=jnp.ones((1, k), bool),
+    ).with_defaults()
+    ours = render_gaussian_heatmaps(boxes, voxel_center_coords(bev))
+    np.testing.assert_allclose(
+        np.asarray(ours)[0], np.asarray(ref)[0], rtol=0, atol=2e-4
+    )

@@ -351,3 +351,40 @@ def test_gaussian_centermap_matches_reference():
     np.testing.assert_allclose(
         np.asarray(ours)[0], np.asarray(ref)[0], rtol=0, atol=2e-4
     )
+
+
+def test_se3_compose_decompose_matches_reference():
+    """ops/transforms vs the reference torch_transformation helpers."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.utils.torch_transformation import (
+        torch_compose_matrix, torch_decompose_matrix,
+    )
+
+    from liso_tpu.ops.transforms import compose_matrix, decompose_matrix
+
+    r = np.random.RandomState(0)
+    tx = r.uniform(-5, 5, (2, 4))  # reference expects [batch, slots]
+    ty = r.uniform(-5, 5, (2, 4))
+    yaw = r.uniform(-3, 3, (2, 4))
+
+    T_ref = torch_compose_matrix(
+        t_x=torch.tensor(tx), t_y=torch.tensor(ty),
+        theta_z=torch.tensor(yaw),
+    )
+    t3 = jnp.stack(
+        [jnp.asarray(tx), jnp.asarray(ty), jnp.zeros_like(jnp.asarray(tx))],
+        axis=-1,
+    )
+    T_ours = compose_matrix(t=t3, theta_z=jnp.asarray(yaw))
+    np.testing.assert_allclose(
+        np.asarray(T_ours), T_ref.numpy(), rtol=0, atol=1e-6
+    )
+    t_dec, yaw_dec = decompose_matrix(jnp.asarray(np.asarray(T_ours)))
+    ref_t, ref_yaw = torch_decompose_matrix(T_ref.to(torch.float64))
+    np.testing.assert_allclose(np.asarray(t_dec), ref_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yaw_dec),
+                               ref_yaw.numpy()[..., 0], atol=1e-6)

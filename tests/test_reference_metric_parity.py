@@ -388,3 +388,50 @@ def test_se3_compose_decompose_matches_reference():
     np.testing.assert_allclose(np.asarray(t_dec), ref_t.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(yaw_dec),
                                ref_yaw.numpy()[..., 0], atol=1e-6)
+
+
+def test_movavg_threshold_matches_reference():
+    """models/slim MovAvg state (fp32-exact EMA via expm1/log1p) vs the
+    reference's float64-buffer MovingAverageThreshold on the same update
+    stream — same histogram, same optimal threshold."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.slim.slim_loss.movavg_cls_threshold import (
+        MovingAverageThreshold,
+    )
+
+    from liso_tpu.models.slim import movavg_init, movavg_update, movavg_value
+
+    num_train_samples, num_moving = 10, 50_000
+    ref = MovingAverageThreshold(num_train_samples, num_moving,
+                                 resolution=1000)
+    ours = movavg_init(num_train_samples, num_moving=num_moving,
+                       resolution=1000)
+
+    r = np.random.RandomState(0)
+    for step in range(5):
+        m = 2048
+        es = r.uniform(0, 2, m).astype(np.float32)
+        ed = r.uniform(0, 2, m).astype(np.float32)
+        dyn = r.uniform(0, 1, m).astype(np.float32)
+        ref_thr = ref.update(
+            torch.tensor(es), torch.tensor(ed), None, torch.tensor(dyn),
+            training=True,
+        )
+        ours = movavg_update(
+            ours, jnp.asarray(es), jnp.asarray(ed), jnp.asarray(dyn),
+            jnp.ones(m, bool),
+        )
+        our_thr = float(movavg_value(ours))
+        np.testing.assert_allclose(our_thr, float(ref_thr), rtol=0,
+                                   atol=2e-5, err_msg=f"step {step}")
+    # fp32 EMA vs the reference's float64 buffers: identical to within
+    # single-precision accumulation noise
+    np.testing.assert_allclose(
+        np.asarray(ours.importance),
+        ref.moving_average_importance.numpy(),
+        rtol=1e-3, atol=1e-8,
+    )

@@ -435,3 +435,81 @@ def test_movavg_threshold_matches_reference():
         ref.moving_average_importance.numpy(),
         rtol=1e-3, atol=1e-8,
     )
+
+
+def test_box_decode_matches_reference():
+    """models/box_decode.decode_box_maps vs the reference's
+    box_pred_convention_to_gt_convention for every pos/dims/rot method."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    from types import SimpleNamespace as NS
+
+    import jax.numpy as jnp
+    import torch
+    from liso.kabsch.output_modification import (
+        box_pred_convention_to_gt_convention,
+    )
+
+    from liso_tpu.models.box_decode import (
+        BoxPredictionCfg, decode_box_maps, prediction_grid_centers,
+    )
+    from liso_tpu.ops.bev import BevSetup
+
+    bev = BevSetup((40.0, 40.0), (16, 16))
+    b, h, w = 2, 16, 16
+    r = np.random.RandomState(0)
+
+    for pos_m, dims_m, rot_m in (
+        ("local_relative_offset", "predict_abs_size", "vector"),
+        ("global_relative", "predict_aspect_ratio", "direct"),
+        ("local_relative_offset", "predict_log_size", "class_bins"),
+    ):
+        rot_ch = {"vector": 2, "direct": 1, "class_bins": 36}[rot_m]
+        dims_ch = {"predict_abs_size": 3, "predict_aspect_ratio": 2,
+                   "predict_log_size": 3}[dims_m]
+        # the reference's global_relative path multiplies pos by the 2-dim
+        # bev range -> 2 position channels there, 3 for the offset path
+        pos_ch = 2 if pos_m == "global_relative" else 3
+        act = {  # activated maps (tanh'ed positions etc.)
+            "pos": np.tanh(
+                r.normal(0, 1, (b, h, w, pos_ch))
+            ).astype(np.float32),
+            "dims": np.abs(r.normal(1, 0.3, (b, h, w, dims_ch))).astype(
+                np.float32
+            ),
+            "rot": r.normal(0, 1, (b, h, w, rot_ch)).astype(np.float32),
+        }
+
+        cfg = BoxPredictionCfg(
+            position_method=pos_m, num_box_pos_dims=pos_ch,
+            box_z_pos_prior_min=-1.5, box_z_pos_prior_max=-0.5,
+            dimensions_method=dims_m, box_len_prior_min=1.0,
+            box_len_prior_max=8.0, rotation_method=rot_m,
+        )
+        ours = decode_box_maps(
+            {k: jnp.asarray(v) for k, v in act.items()}, cfg, bev
+        )
+
+        ref_cfg = NS(
+            position_representation=NS(
+                method=pos_m, num_box_pos_dims=pos_ch,
+                box_z_pos_prior_min=-1.5, box_z_pos_prior_max=-0.5,
+            ),
+            dimensions_representation=NS(
+                method=dims_m, box_len_prior_min=1.0, box_len_prior_max=8.0,
+            ),
+            rotation_representation=NS(method=rot_m, norm_vector_len=False),
+            activations=NS(pos="tanh", dims="exp"),
+        )
+        data_cfg = NS(bev_range_m=(40.0, 40.0))
+        centers = torch.tensor(prediction_grid_centers(bev, (h, w)))
+        ref = box_pred_convention_to_gt_convention(
+            {k: torch.tensor(v) for k, v in act.items()},
+            ref_cfg, data_cfg, centers,
+        )
+        for k in ("pos", "dims", "rot"):
+            np.testing.assert_allclose(
+                np.asarray(ours[k]), ref[k].numpy(), rtol=1e-5, atol=1e-5,
+                err_msg=f"{pos_m}/{dims_m}/{rot_m}:{k}",
+            )

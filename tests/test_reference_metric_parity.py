@@ -513,3 +513,114 @@ def test_box_decode_matches_reference():
                 np.asarray(ours[k]), ref[k].numpy(), rtol=1e-5, atol=1e-5,
                 err_msg=f"{pos_m}/{dims_m}/{rot_m}:{k}",
             )
+
+
+def test_flow_tracker_matches_reference():
+    """tracker/tracker.FlowBasedBoxTracker vs the reference
+    global_box_tracker on the same drive with identical flow-propagated
+    box poses: identical track partitions and ages."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import torch
+    from liso.kabsch.shape_utils import Shape
+    from liso.tracker.global_box_tracker import (
+        FlowBasedBoxTracker as RefTracker,
+    )
+
+    from liso_tpu.tracker.tracker import FlowBasedBoxTracker as OurTracker
+
+    n_t = 6
+    ref = RefTracker(use_propagated_boxes=True, box_matching_threshold_m=1.0)
+    ours = OurTracker(box_matching_threshold_m=1.0)
+
+    def w_T_sensor(t):
+        T = np.eye(4)
+        T[0, 3] = 1.0 * t  # ego +1 m/frame in world x
+        return T
+
+    def w_T_box(t):
+        # two objects moving in WORLD coordinates
+        poses = []
+        for x0, y0, vx, vy in ((3.0, 2.0, 0.4, 0.0), (-5.0, -1.0, -0.3, 0.2)):
+            T = np.eye(4)
+            T[0, 3] = x0 + vx * t
+            T[1, 3] = y0 + vy * t
+            poses.append(T)
+        return np.stack(poses)
+
+    for t in range(n_t):
+        s_T_w = np.linalg.inv(w_T_sensor(t))
+        box_poses_t = s_T_w[None] @ w_T_box(t)
+        pos = box_poses_t[:, :3, 3]
+        k = len(pos)
+        boxes = {
+            "pos": pos.astype(np.float32),
+            "dims": np.full((k, 3), 2.0, np.float32),
+            "rot": np.zeros((k, 1), np.float32),
+            "probs": np.full((k, 1), 0.9, np.float32),
+            "velo": np.zeros((k, 1), np.float32),
+            "valid": np.ones(k, bool),
+        }
+        # exact flow propagation: box pose at t-1 (t+1) in the t-1 (t+1)
+        # sensor frame
+        prop_past = np.linalg.inv(w_T_sensor(max(t - 1, 0)))[None] @ w_T_box(
+            max(t - 1, 0)
+        )
+        prop_future = np.linalg.inv(
+            w_T_sensor(min(t + 1, n_t - 1))
+        )[None] @ w_T_box(min(t + 1, n_t - 1))
+        # odometry: sensor(t) pose in sensor(t+1) coords? the reference
+        # aggregates sti_T_stii into world poses; both trackers get the
+        # same matrix
+        odom = np.linalg.inv(w_T_sensor(t + 1)) @ w_T_sensor(t)
+        shape = Shape(
+            pos=torch.tensor(boxes["pos"]),
+            dims=torch.tensor(boxes["dims"]),
+            rot=torch.tensor(boxes["rot"]),
+            probs=torch.tensor(boxes["probs"]),
+            valid=torch.ones(k, dtype=torch.bool),
+            velo=torch.tensor(boxes["velo"]),
+        )
+        ref.update(
+            shape,
+            torch.tensor(prop_future, dtype=torch.float64),
+            torch.tensor(prop_past, dtype=torch.float64),
+            torch.tensor(odom, dtype=torch.float64),
+            per_box_extra_attributes_tii=[{"i": str(j)} for j in range(k)],
+        )
+        ours.update(boxes, prop_future, prop_past, odom,
+                    per_box_extra=[{"i": str(j)} for j in range(k)])
+
+    ref.run_tracker()
+    ours.run_tracker()
+
+    def canonical(ids_per_t):
+        """Track ids -> first-appearance canonical labels."""
+        mapping = {}
+        out = []
+        for ids in ids_per_t:
+            row = []
+            for i in np.asarray(ids).tolist():
+                if i not in mapping:
+                    mapping[i] = len(mapping)
+                row.append(mapping[i])
+            out.append(row)
+        return out
+
+    ref_ids = canonical([t.numpy() for t in ref.track_ids])
+    our_ids = canonical(ours.track_ids)
+    assert ref_ids == our_ids, (ref_ids, our_ids)
+    # the reference derives ages from id occurrence counts
+    # (get_all_unique_track_ids_and_lengths); partitions match, so compare
+    # our per-detection ages against the id counts
+    all_ref = np.concatenate([t.numpy() for t in ref.track_ids])
+    uniq, counts = np.unique(all_ref, return_counts=True)
+    lookup = dict(zip(uniq.tolist(), counts.tolist()))
+    ref_ages = [
+        [lookup[i] for i in t.numpy().tolist()] for t in ref.track_ids
+    ]
+    our_ages = [np.asarray(a).tolist() for a in ours.track_ages]
+    assert ref_ages == our_ages, (ref_ages, our_ages)
+    # both see 2 full-length tracks
+    assert ref_ages[0] == [n_t, n_t]

@@ -624,3 +624,102 @@ def test_flow_tracker_matches_reference():
     assert ref_ages == our_ages, (ref_ages, our_ages)
     # both see 2 full-length tracks
     assert ref_ages[0] == [n_t, n_t]
+
+
+def test_flow_tracker_coasting_matches_reference():
+    """Same drive but with object B's detection MISSING at t=3: both
+    trackers must coast through the gap and keep one identity."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import torch
+    from liso.kabsch.shape_utils import Shape
+    from liso.tracker.global_box_tracker import (
+        FlowBasedBoxTracker as RefTracker,
+    )
+
+    from liso_tpu.tracker.tracker import FlowBasedBoxTracker as OurTracker
+
+    n_t = 7
+    drop_t = 3
+    ref = RefTracker(use_propagated_boxes=True, box_matching_threshold_m=1.0)
+    ours = OurTracker(box_matching_threshold_m=1.0)
+
+    def w_T_sensor(t):
+        T = np.eye(4)
+        T[0, 3] = 1.0 * t
+        return T
+
+    def w_T_box(t, keep_all):
+        poses = []
+        specs = ((3.0, 2.0, 0.4, 0.0), (-5.0, -1.0, -0.3, 0.2))
+        for j, (x0, y0, vx, vy) in enumerate(specs):
+            if not keep_all and j == 1:
+                continue
+            T = np.eye(4)
+            T[0, 3] = x0 + vx * t
+            T[1, 3] = y0 + vy * t
+            poses.append(T)
+        return np.stack(poses)
+
+    for t in range(n_t):
+        keep_all = t != drop_t
+        s_T_w = np.linalg.inv(w_T_sensor(t))
+        box_poses_t = s_T_w[None] @ w_T_box(t, keep_all)
+        pos = box_poses_t[:, :3, 3]
+        k = len(pos)
+        boxes = {
+            "pos": pos.astype(np.float32),
+            "dims": np.full((k, 3), 2.0, np.float32),
+            "rot": np.zeros((k, 1), np.float32),
+            "probs": np.full((k, 1), 0.9, np.float32),
+            "velo": np.zeros((k, 1), np.float32),
+            "valid": np.ones(k, bool),
+        }
+        prop_past = np.linalg.inv(w_T_sensor(max(t - 1, 0)))[None] @ w_T_box(
+            max(t - 1, 0), keep_all
+        )
+        prop_future = np.linalg.inv(
+            w_T_sensor(min(t + 1, n_t - 1))
+        )[None] @ w_T_box(min(t + 1, n_t - 1), keep_all)
+        odom = np.linalg.inv(w_T_sensor(t + 1)) @ w_T_sensor(t)
+        shape = Shape(
+            pos=torch.tensor(boxes["pos"]),
+            dims=torch.tensor(boxes["dims"]),
+            rot=torch.tensor(boxes["rot"]),
+            probs=torch.tensor(boxes["probs"]),
+            valid=torch.ones(k, dtype=torch.bool),
+            velo=torch.tensor(boxes["velo"]),
+        )
+        ref.update(
+            shape,
+            torch.tensor(prop_future, dtype=torch.float64),
+            torch.tensor(prop_past, dtype=torch.float64),
+            torch.tensor(odom, dtype=torch.float64),
+            per_box_extra_attributes_tii=[{"i": str(j)} for j in range(k)],
+        )
+        ours.update(boxes, prop_future, prop_past, odom,
+                    per_box_extra=[{"i": str(j)} for j in range(k)])
+
+    ref.run_tracker()
+    ours.run_tracker()
+
+    def canonical(ids_per_t):
+        mapping = {}
+        out = []
+        for ids in ids_per_t:
+            row = []
+            for i in np.asarray(ids).tolist():
+                if i not in mapping:
+                    mapping[i] = len(mapping)
+                row.append(mapping[i])
+            out.append(row)
+        return out
+
+    ref_ids = canonical([t.numpy() for t in ref.track_ids])
+    our_ids = canonical(ours.track_ids)
+    assert ref_ids == our_ids, (ref_ids, our_ids)
+    # object B keeps ONE identity across the gap in both trackers
+    flat = [row for row in ref_ids]
+    b_ids = {row[1] for row in flat if len(row) > 1}
+    assert len(b_ids) == 1, ref_ids

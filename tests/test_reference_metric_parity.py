@@ -723,3 +723,41 @@ def test_flow_tracker_coasting_matches_reference():
     flat = [row for row in ref_ids]
     b_ids = {row[1] for row in flat if len(row) > 1}
     assert len(b_ids) == 1, ref_ids
+
+
+def test_focal_heatmap_loss_matches_reference():
+    """losses/centerpoint_loss.focal_heatmap_loss vs the reference's
+    compute_focal_loss (with and without ignore regions)."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.losses.centerpoint_loss import compute_focal_loss
+
+    from liso_tpu.losses.centerpoint_loss import focal_heatmap_loss
+
+    r = np.random.RandomState(0)
+    b, h, w = 2, 16, 16
+    logits = r.normal(0, 2, (b, h, w, 1)).astype(np.float32)
+    gt_probs = r.uniform(0, 1, (b, h, w, 1)).astype(np.float32)
+    center = r.rand(b, h, w) > 0.95
+    gt_probs[center] = 1.0
+    ignore = r.rand(b, h, w) > 0.9
+
+    for ign in (None, ignore):
+        ref = compute_focal_loss(
+            torch.tensor(center)[..., None],
+            torch.tensor(gt_probs),
+            torch.tensor(logits),
+            2.0, 0.5,
+            None if ign is None else torch.tensor(ign)[..., None],
+        )
+        ours = focal_heatmap_loss(
+            jnp.asarray(logits), jnp.asarray(gt_probs),
+            jnp.asarray(center),
+            None if ign is None else jnp.asarray(ign),
+        )
+        np.testing.assert_allclose(
+            float(ours), float(ref), rtol=1e-5, atol=1e-6
+        )

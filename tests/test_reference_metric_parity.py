@@ -761,3 +761,59 @@ def test_focal_heatmap_loss_matches_reference():
         np.testing.assert_allclose(
             float(ours), float(ref), rtol=1e-5, atol=1e-6
         )
+
+
+def test_bev_dynamic_flow_map_matches_reference():
+    """models/flow_cluster_detector.bev_dynamicness_and_flow vs the
+    reference's get_bev_dynamic_flow_map_from_pcl_flow_and_odom."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.utils.bev_flow_utils import (
+        get_bev_dynamic_flow_map_from_pcl_flow_and_odom,
+    )
+
+    from liso_tpu.models.flow_cluster_detector import (
+        bev_dynamicness_and_flow,
+    )
+    from liso_tpu.ops.bev import BevSetup, point_cell_ids
+
+    r = np.random.RandomState(0)
+    n = 512
+    bev = BevSetup((40.0, 40.0), (32, 32))
+    pcl = r.uniform(-18, 18, (n, 3)).astype(np.float32)
+    valid = r.rand(n) > 0.2
+    flow = r.normal(0, 0.4, (n, 3)).astype(np.float32)
+    odom = np.eye(4)
+    odom[0, 3] = 0.8
+    odom[:3, :3] = np.array([
+        [np.cos(0.02), -np.sin(0.02), 0],
+        [np.sin(0.02), np.cos(0.02), 0],
+        [0, 0, 1],
+    ])
+
+    cell, _, rc = point_cell_ids(jnp.asarray(pcl[:, :2]), bev,
+                                 jnp.asarray(valid))
+    dyn_ours, flow_ours = bev_dynamicness_and_flow(
+        jnp.asarray(pcl), jnp.asarray(valid), cell, jnp.asarray(flow),
+        jnp.asarray(odom, jnp.float32), bev,
+    )
+
+    dyn_ref, flow_ref = get_bev_dynamic_flow_map_from_pcl_flow_and_odom(
+        pcl_is_valid=torch.tensor(valid)[None],
+        pcl=torch.tensor(pcl)[None],
+        pillar_coors=torch.tensor(np.asarray(rc))[None],
+        point_flow=torch.tensor(flow)[None],
+        odom_ta_tb=torch.tensor(odom, dtype=torch.float64)[None],
+        target_shape=(32, 32),
+        return_nonrigid_bev_flow=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dyn_ours), dyn_ref.numpy()[0, ..., 0], rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(flow_ours), flow_ref.numpy()[0], rtol=1e-4, atol=1e-5
+    )

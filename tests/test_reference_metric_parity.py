@@ -817,3 +817,48 @@ def test_bev_dynamic_flow_map_matches_reference():
     np.testing.assert_allclose(
         np.asarray(flow_ours), flow_ref.numpy()[0], rtol=1e-4, atol=1e-5
     )
+
+
+def test_points_in_box_mask_matches_reference():
+    """ops/boxes.points_in_box_mask vs Shape.get_points_in_box_bool_mask
+    (drives the mining min-points filter, z fitting and ROI pooling)."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.kabsch.shape_utils import Shape
+
+    from liso_tpu.ops.boxes import Boxes
+
+    r = np.random.RandomState(0)
+    n, k = 2048, 5
+    pcl = r.uniform(-20, 20, (n, 3)).astype(np.float32)
+    pos = np.concatenate(
+        [r.uniform(-15, 15, (k, 2)), r.uniform(-1, 1, (k, 1))], -1
+    ).astype(np.float32)
+    dims = r.uniform(1.5, 5.0, (k, 3)).astype(np.float32)
+    rot = r.uniform(-3, 3, (k, 1)).astype(np.float32)
+
+    shape = Shape(
+        pos=torch.tensor(pos), dims=torch.tensor(dims),
+        rot=torch.tensor(rot), probs=torch.ones(k, 1),
+        valid=torch.ones(k, dtype=torch.bool),
+    )
+    for bloat in (1.0, 1.2):
+        ref_mask = shape.get_points_in_box_bool_mask(
+            torch.tensor(pcl), box_dims_bloat_factor=bloat
+        )
+        boxes = Boxes(
+            pos=jnp.asarray(pos), dims=jnp.asarray(dims),
+            rot=jnp.asarray(rot), probs=jnp.ones((k, 1)),
+            valid=jnp.ones(k, bool),
+        ).with_defaults()
+        ours = boxes.points_in_box_mask(jnp.asarray(pcl), bloat=bloat)
+        ref_np = ref_mask.numpy()
+        ours_np = np.asarray(ours)
+        assert ref_np.shape == ours_np.shape, (ref_np.shape, ours_np.shape)
+        # identical membership except points within fp noise of a face
+        disagree = np.flatnonzero((ref_np != ours_np).any(-1))
+        assert len(disagree) <= max(1, n // 1000), len(disagree)
+        assert ref_np.sum() > 0  # scenario actually covers boxes

@@ -190,16 +190,15 @@ def lookup_corr(
     4 corner gathers per offset (196 scalar reads/pixel/level, ~204 ms/iter
     at 512 grid) we gather ONE contiguous (2r+2)^2 window per pixel (64
     reads) and blend 4 shifted views with the two scalar fractions
-    (~12x fewer gather elements; identical values incl. edge clamping)."""
+    (~12x fewer gather elements). Out-of-bounds taps contribute exact
+    zeros, matching the reference's grid_sample padding_mode='zeros'
+    (raft_code/utils.bilinear_sampler)."""
     b, h, w, _ = coords.shape
     win = 2 * radius + 1
     out = []
     for lvl, corr in enumerate(pyramid):
         hk, wk = corr.shape[-2:]
         centers = coords.reshape(b, h * w, 2) / (2.0**lvl)
-        # floor the UNCLIPPED center; only window indices are clamped —
-        # the double-clamped rows then blend to the edge value exactly like
-        # per-point clipping in the naive formulation
         r = centers[..., 0]
         c = centers[..., 1]
         r0 = jnp.floor(r).astype(jnp.int32)
@@ -207,19 +206,30 @@ def lookup_corr(
         fr = (r - r0)[..., None, None]
         fc = (c - c0)[..., None, None]
         d = jnp.arange(-radius, radius + 2, dtype=jnp.int32)  # win+1 offsets
-        rows = jnp.clip(r0[..., None] + d, 0, hk - 1)  # [B, HW, win+1]
-        cols = jnp.clip(c0[..., None] + d, 0, wk - 1)
+        rows_u = r0[..., None] + d  # unclipped [B, HW, win+1]
+        cols_u = c0[..., None] + d
+        vr = ((rows_u >= 0) & (rows_u < hk)).astype(corr.dtype)
+        vc = ((cols_u >= 0) & (cols_u < wk)).astype(corr.dtype)
+        rows = jnp.clip(rows_u, 0, hk - 1)
+        cols = jnp.clip(cols_u, 0, wk - 1)
         flat = rows[..., :, None] * wk + cols[..., None, :]  # [B, HW, w1, w1]
         volf = corr.reshape(b, h * w, hk * wk)
         wnd = jnp.take_along_axis(
             volf, flat.reshape(b, h * w, -1), axis=-1
         ).reshape(b, h * w, win + 1, win + 1)
+        # zero out-of-bounds corners (padding_mode='zeros' semantics)
+        wnd = wnd * vr[..., :, None] * vc[..., None, :]
         s = (
             wnd[..., :win, :win] * (1 - fr) * (1 - fc)
             + wnd[..., :win, 1:] * (1 - fr) * fc
             + wnd[..., 1:, :win] * fr * (1 - fc)
             + wnd[..., 1:, 1:] * fr * fc
         )
+        # reference tap ordering: CorrBlock's delta = meshgrid(dy, dx)
+        # added to (x, y) coords puts the COLUMN offset on the first window
+        # axis (corr.py:31-39) — emit taps transposed to stay
+        # channel-compatible with reference checkpoints
+        s = jnp.swapaxes(s, -2, -1)
         out.append(s.reshape(b, h, w, win * win))
     return jnp.concatenate(out, axis=-1)
 

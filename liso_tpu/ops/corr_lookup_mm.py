@@ -56,8 +56,11 @@ def lookup_prepared_mm(
         fr = (r - r0)[..., None, None]
         fc = (c - c0)[..., None, None]
         d = jnp.arange(-radius, radius + 2, dtype=jnp.int32)
-        rows = jnp.clip(r0[..., None] + d, 0, hk - 1)  # [B, HW, win+1]
-        cols = jnp.clip(c0[..., None] + d, 0, wk - 1)
+        # UNCLIPPED taps: out-of-bounds indices match no one-hot column and
+        # contribute exact zeros — the reference's grid_sample padding_mode
+        # 'zeros' semantics (raft_code/utils.bilinear_sampler)
+        rows = r0[..., None] + d  # [B, HW, win+1]
+        cols = c0[..., None] + d
         sr = (
             rows[..., None] == jnp.arange(hk, dtype=jnp.int32)
         ).astype(jnp.bfloat16)  # [B, HW, win+1, hk]
@@ -78,5 +81,8 @@ def lookup_prepared_mm(
             + wnd[..., 1:, :win] * fr * (1 - fc)
             + wnd[..., 1:, 1:] * fr * fc
         )
+        # reference tap ordering (see models/raft.lookup_corr): column
+        # offset on the first window axis
+        s = jnp.swapaxes(s, -2, -1)
         out.append(s.reshape(b, h, w, win * win))
     return jnp.concatenate(out, axis=-1)

@@ -862,3 +862,53 @@ def test_points_in_box_mask_matches_reference():
         disagree = np.flatnonzero((ref_np != ours_np).any(-1))
         assert len(disagree) <= max(1, n // 1000), len(disagree)
         assert ref_np.sum() > 0  # scenario actually covers boxes
+
+
+def test_corr_block_lookup_matches_reference():
+    """build_corr_pyramid + lookup_corr (and the MXU one-hot path) vs the
+    reference's CorrBlock (all-pairs matmul pyramid + grid_sample window
+    lookup with zero padding) on identical feature maps and coords —
+    including out-of-bounds windows at the grid edges."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.slim.model.raft_code.corr import CorrBlock
+
+    from liso_tpu.models.raft import build_corr_pyramid, lookup_corr
+    from liso_tpu.ops.corr_lookup_mm import (
+        lookup_prepared_mm, prepare_corr_volumes_mm,
+    )
+
+    r = np.random.RandomState(0)
+    b, h, w, c = 2, 16, 16, 32
+    f0 = r.randn(b, h, w, c).astype(np.float32)
+    f1 = r.randn(b, h, w, c).astype(np.float32)
+    # coords spanning interior AND the edge region (within radius of the
+    # border, where the padding semantics show)
+    coords_rc = r.uniform(-1.0, h + 1.0, (b, h, w, 2)).astype(np.float32)
+
+    ref_block = CorrBlock(
+        torch.tensor(f0).permute(0, 3, 1, 2),
+        torch.tensor(f1).permute(0, 3, 1, 2),
+        num_levels=4, radius=3,
+    )
+    # reference coords are (x, y) = (col, row)
+    coords_xy = torch.tensor(
+        np.stack([coords_rc[..., 1], coords_rc[..., 0]], axis=1)
+    )
+    ref_out = ref_block(coords_xy).permute(0, 2, 3, 1).numpy()
+
+    pyr = build_corr_pyramid(jnp.asarray(f0), jnp.asarray(f1), num_levels=4)
+    ours_gather = np.asarray(lookup_corr(pyr, jnp.asarray(coords_rc), 3))
+    ours_mm = np.asarray(
+        lookup_prepared_mm(
+            prepare_corr_volumes_mm(pyr), jnp.asarray(coords_rc), 3
+        )
+    )
+
+    # tap ordering: reference windows iterate (dy, dx) like ours (row, col)
+    np.testing.assert_allclose(ours_gather, ref_out, rtol=1e-4, atol=1e-4)
+    # the bf16 one-hot path quantizes the volume
+    np.testing.assert_allclose(ours_mm, ref_out, rtol=2e-2, atol=2e-2)

@@ -912,3 +912,25 @@ def test_corr_block_lookup_matches_reference():
     np.testing.assert_allclose(ours_gather, ref_out, rtol=1e-4, atol=1e-4)
     # the bf16 one-hot path quantizes the volume
     np.testing.assert_allclose(ours_mm, ref_out, rtol=2e-2, atol=2e-2)
+
+
+def test_upsample_matches_reference_interpolate():
+    """models/raft.upsample_bilinear (interpolation matmuls) vs the
+    reference's F.interpolate(..., align_corners=True) used by upflow_n."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from liso_tpu.models.raft import upsample_bilinear
+
+    r = np.random.RandomState(0)
+    x = r.randn(2, 6, 9, 3).astype(np.float32)
+    ref = F.interpolate(
+        torch.tensor(x).permute(0, 3, 1, 2), scale_factor=8,
+        mode="bilinear", align_corners=True,
+    ).permute(0, 2, 3, 1).numpy()
+    ours = np.asarray(upsample_bilinear(jnp.asarray(x), 8))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

@@ -934,3 +934,32 @@ def test_upsample_matches_reference_interpolate():
     ).permute(0, 2, 3, 1).numpy()
     ours = np.asarray(upsample_bilinear(jnp.asarray(x), 8))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_poly_warmup_schedule_matches_reference():
+    """utils/schedules.polynomial_decay_with_warmup vs the reference's
+    torch LambdaLR schedule over the whole training range."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import torch
+    from liso.utils.learning_rate import (
+        get_polynomial_decay_schedule_with_warmup,
+    )
+
+    from liso_tpu.utils.schedules import polynomial_decay_with_warmup
+
+    lr0, warm, total = 1e-4, 2000, 150_000
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr0)
+    sched = get_polynomial_decay_schedule_with_warmup(
+        opt, warm, total, lr_end=lr0 * 0.05
+    )
+    ours = polynomial_decay_with_warmup(lr0, warm, total,
+                                        lr_end_factor=0.05)
+    for step in (0, 1, 500, 2000, 2001, 75_000, 149_999, 150_000):
+        ref_lr = lr0 * sched.lr_lambdas[0](step)
+        np.testing.assert_allclose(
+            float(ours(step)), ref_lr, rtol=1e-5, atol=1e-12,
+            err_msg=f"step {step}",
+        )

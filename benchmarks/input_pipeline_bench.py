@@ -10,7 +10,6 @@ import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-import numpy as np
 
 from liso_tpu.data.dataset import DataCfg
 from liso_tpu.data.pipeline import Prefetcher

@@ -10,7 +10,6 @@ from __future__ import annotations
 from liso_tpu.cli.common import (load_cfg_make_logdir, parse_cli_args,
                                   run_maybe_profiled)
 from liso_tpu.cli.slim_cli import build_datasets, make_train_dataset
-from liso_tpu.data.dataset import DataCfg
 from liso_tpu.train.liso_loop import LisoSelfTraining
 
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 import argparse
 import pickle
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ formats are identical):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional
 
 import numpy as np
 

@@ -238,7 +238,6 @@ def get_label_map_from_file(raw_map_name: str,
                             path=None) -> RawLabelMap:
     """labelmap/__init__.get_label_map_from_file over
     liso_tpu/config/label_mappings.yml."""
-    import functools
     from pathlib import Path
 
     import yaml

@@ -9,7 +9,6 @@ SLIM training, mining, detector training, eval — runs hermetically.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional
 
 import numpy as np
 

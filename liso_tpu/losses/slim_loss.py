@@ -10,7 +10,7 @@ with NaN and boolean-indexes them away, which requires dynamic shapes).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

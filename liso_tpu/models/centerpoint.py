@@ -10,7 +10,7 @@ throughout; norm is BatchNorm(eps 1e-3, momentum 0.01) as in the reference.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from liso_tpu.ops import scatter
 from liso_tpu.ops.bev import BevSetup
-from liso_tpu.ops.pillars import pillar_point_features, pillarize
+from liso_tpu.ops.pillars import pillarize
 
 
 class MaskedBatchNorm(nn.Module):

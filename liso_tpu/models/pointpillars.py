@@ -18,7 +18,7 @@ SECONDFPN + Anchor3DHead with CUDA ops). Rebuilt TPU-first:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ the train state (updated with jnp ops, checkpointed with everything else).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

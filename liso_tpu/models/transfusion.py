@@ -22,7 +22,7 @@ and the suppression is a max-pool equality mask.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

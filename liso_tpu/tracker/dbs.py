@@ -14,7 +14,7 @@ liso/tracker/augm_box_db_utils.py:13-183, liso/tracker/tracking.py:1927-1962.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

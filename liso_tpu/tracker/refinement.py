@@ -9,7 +9,7 @@ cheap numpy on variable-length track arrays.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,7 @@ mesh batch axis like the SLIM trainer.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

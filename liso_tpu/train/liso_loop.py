@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from liso_tpu.data.augmentation import BoxAugmCfg, paste_boxes_into_sample
-from liso_tpu.data.dataset import DataCfg, LidarDataset, collate, pad_boxes, pad_to
+from liso_tpu.data.dataset import DataCfg, LidarDataset, pad_to
 from liso_tpu.data.pipeline import Prefetcher
 from liso_tpu.eval.run_val import mined_db_predictor, run_val
 from liso_tpu.models.box_decode import BoxPredictionCfg
@@ -27,7 +27,7 @@ from liso_tpu.models.flow_cluster_detector import (
     FlowClusterCfg,
     detect_boxes_from_flow,
 )
-from liso_tpu.ops.bev import BevSetup, point_cell_ids
+from liso_tpu.ops.bev import point_cell_ids
 from liso_tpu.ops.boxes import Boxes
 from liso_tpu.tracker.dbs import (
     save_augm_db,

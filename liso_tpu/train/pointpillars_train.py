@@ -8,7 +8,7 @@ detectors. Assignment + losses are fully on device (vmapped per sample).
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ batch axis.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Behavioral references:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

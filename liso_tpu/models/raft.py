@@ -59,21 +59,35 @@ def _norm(kind: str, name: str, dtype=None):
 
 class ResidualBlock(nn.Module):
     """extractor.py:ResidualBlock — two 3x3 convs + skip (1x1 when shape
-    changes)."""
+    changes).
+
+    torch_compat replicates two reference quirks for checkpoint porting:
+    explicit symmetric (torch-aligned) padding on strided convs (XLA SAME
+    pads left-short where torch pads right-short) and the redundant 1x1
+    downsample the reference builds on the SECOND block of every stage
+    (dummy_in_filters quirk, extractor.py:19-21) via force_down."""
 
     filters: int
     stride: int = 1
     norm_fn: str = "instance_affine"
     dtype: object = None  # bf16 compute when set (params stay fp32)
+    torch_compat: bool = False
+    force_down: bool = False
 
     @nn.compact
     def __call__(self, x):
+        pad3 = ((1, 1), (1, 1)) if self.torch_compat else "SAME"
         y = nn.Conv(self.filters, (3, 3), strides=self.stride,
-                    dtype=self.dtype, name="conv1")(x)
+                    padding=pad3, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(_norm(self.norm_fn, "norm1", self.dtype)(self.filters)(y))
-        y = nn.Conv(self.filters, (3, 3), dtype=self.dtype, name="conv2")(y)
+        y = nn.Conv(self.filters, (3, 3), padding=pad3,
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.relu(_norm(self.norm_fn, "norm2", self.dtype)(self.filters)(y))
-        if self.stride != 1 or x.shape[-1] != self.filters:
+        if (
+            self.stride != 1
+            or x.shape[-1] != self.filters
+            or (self.force_down and self.torch_compat)
+        ):
             x = nn.Conv(self.filters, (1, 1), strides=self.stride,
                         dtype=self.dtype, name="down")(x)
             x = _norm(self.norm_fn, "norm3", self.dtype)(self.filters)(x)
@@ -82,22 +96,32 @@ class ResidualBlock(nn.Module):
 
 class SmallEncoder(nn.Module):
     """extractor.py:SmallEncoder — 7x7/2 stem then 3 residual stages
-    (32, 64/2, 96/2) and a 1x1 head; total stride 8."""
+    (32, 64/2, 96/2) and a 1x1 head; total stride 8. torch_compat=True
+    makes the layout weight-compatible with reference checkpoints
+    (tests/test_reference_metric_parity.py converts and compares)."""
 
     output_dim: int = 128
     norm_fn: str = "instance_affine"
     dtype: object = None
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (7, 7), strides=2, dtype=self.dtype, name="conv1")(x)
+        tc = self.torch_compat
+        pad7 = ((3, 3), (3, 3)) if tc else "SAME"
+        x = nn.Conv(32, (7, 7), strides=2, padding=pad7,
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(_norm(self.norm_fn, "norm1", self.dtype)(32)(x))
-        x = ResidualBlock(32, 1, self.norm_fn, self.dtype, name="layer1a")(x)
-        x = ResidualBlock(32, 1, self.norm_fn, self.dtype, name="layer1b")(x)
-        x = ResidualBlock(64, 2, self.norm_fn, self.dtype, name="layer2a")(x)
-        x = ResidualBlock(64, 1, self.norm_fn, self.dtype, name="layer2b")(x)
-        x = ResidualBlock(96, 2, self.norm_fn, self.dtype, name="layer3a")(x)
-        x = ResidualBlock(96, 1, self.norm_fn, self.dtype, name="layer3b")(x)
+        rb = lambda f, s, name, force=False: ResidualBlock(
+            f, s, self.norm_fn, self.dtype, torch_compat=tc,
+            force_down=force, name=name,
+        )
+        x = rb(32, 1, "layer1a")(x)
+        x = rb(32, 1, "layer1b")(x)
+        x = rb(64, 2, "layer2a")(x)
+        x = rb(64, 1, "layer2b", force=True)(x)
+        x = rb(96, 2, "layer3a")(x)
+        x = rb(96, 1, "layer3b", force=True)(x)
         x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x)
         return x.astype(jnp.float32)
 

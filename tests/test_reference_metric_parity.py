@@ -963,3 +963,67 @@ def test_poly_warmup_schedule_matches_reference():
             float(ours(step)), ref_lr, rtol=1e-5, atol=1e-12,
             err_msg=f"step {step}",
         )
+
+
+def test_small_encoder_weight_conversion_matches_reference():
+    """SmallEncoder(torch_compat=True) loaded with a converted reference
+    torch SmallEncoder checkpoint produces the same features — validates
+    conv/norm conventions, the torch-aligned strided padding, and the
+    dummy_in_filters downsample quirk."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.slim.model.extractor import SmallEncoder as RefEncoder
+
+    from liso_tpu.models.raft import SmallEncoder
+
+    torch.manual_seed(0)
+    ref = RefEncoder(output_dim=128, norm_fn="instance_affine").eval()
+
+    def conv(w, b=None):
+        out = {"kernel": jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))}
+        if b is not None:
+            out["bias"] = jnp.asarray(b.detach().numpy())
+        return out
+
+    def norm(m):
+        return {"scale": jnp.asarray(m.weight.detach().numpy()),
+                "bias": jnp.asarray(m.bias.detach().numpy())}
+
+    def block(rb):
+        p = {
+            "conv1": conv(rb.conv1.weight, rb.conv1.bias),
+            "conv2": conv(rb.conv2.weight, rb.conv2.bias),
+            "norm1": norm(rb.norm1),
+            "norm2": norm(rb.norm2),
+        }
+        if rb.downsample is not None:
+            p["down"] = conv(rb.downsample[0].weight, rb.downsample[0].bias)
+            p["norm3"] = norm(rb.norm3)
+        return p
+
+    params = {
+        "conv1": conv(ref.conv1.weight, ref.conv1.bias),
+        "norm1": norm(ref.norm1),
+        "layer1a": block(ref.layer1[0]),
+        "layer1b": block(ref.layer1[1]),
+        "layer2a": block(ref.layer2[0]),
+        "layer2b": block(ref.layer2[1]),
+        "layer3a": block(ref.layer3[0]),
+        "layer3b": block(ref.layer3[1]),
+        "conv2": conv(ref.conv2.weight, ref.conv2.bias),
+    }
+
+    r = np.random.RandomState(0)
+    x = r.randn(2, 32, 48, 64).astype(np.float32)  # NHWC, 64 input ch
+    with torch.no_grad():
+        want = (
+            ref(torch.tensor(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+    enc = SmallEncoder(output_dim=128, torch_compat=True)
+    got = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

@@ -20,12 +20,14 @@ from liso_tpu.train.liso_loop import LisoSelfTraining
 
 
 def _save_sequence_gif(loop, dataset, log_dir, max_frames: int = 20):
-    """Tracked-boxes GIF of the first sequence on disk (the mine() call
-    also logs the same frames as an animated TB summary,
-    tracking.py:365-500)."""
+    """Tracked-boxes GIF of a mined sequence on disk (the mine() call logs
+    the same frames as an animated TB summary, tracking.py:365-500, and
+    caches them — reuse instead of re-rendering)."""
     from liso_tpu.visu.bbox_image import save_tracking_gif
 
-    images = loop.render_sequence_frames(dataset, max_frames=max_frames)
+    images = getattr(loop, "_last_seq_frames", None)
+    if not images:
+        images = loop.render_sequence_frames(dataset, max_frames=max_frames)
     if images:
         return save_tracking_gif(images, log_dir / "tracked_sequence.gif")
     return None

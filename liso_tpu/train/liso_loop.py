@@ -326,11 +326,19 @@ class LisoSelfTraining:
             grid_of_snippets(augm, num_boxes=16, per_row=4)
         ):
             w.add_image(f"augm_db/snippets_{pi}", page, self.round_idx)
-        # animated tracked-sequence summary (tracking.py:417-473)
+        # animated tracked-sequence summary (tracking.py:417-473) of a
+        # sequence THIS worker actually mined (sharded mining: the global
+        # first sequence belongs to worker 0 only); rendered once and
+        # cached so the mining CLI's on-disk GIF reuses the frames
+        self._last_seq_frames = (
+            self.render_sequence_frames(
+                dataset, max_frames=20, seq_idxs=sequences[0]
+            )
+            if sequences
+            else []
+        )
         w.add_gif(
-            "tracked_sequence",
-            self.render_sequence_frames(dataset, max_frames=12),
-            self.round_idx,
+            "tracked_sequence", self._last_seq_frames[:12], self.round_idx
         )
         w.add_scalar("mining_time_s", time.time() - t0, self.round_idx)
         print(
@@ -339,14 +347,19 @@ class LisoSelfTraining:
         )
 
     def render_sequence_frames(
-        self, dataset: LidarDataset, max_frames: int = 20, grid_hw=(256, 256)
+        self, dataset: LidarDataset, max_frames: int = 20, grid_hw=(256, 256),
+        seq_idxs=None,
     ):
-        """BEV frames of the first sequence with the mined boxes drawn
-        (consumed by the TB GIF summary and the mining CLI)."""
+        """BEV frames of one sequence with the mined boxes drawn (consumed
+        by the TB GIF summary and the mining CLI). seq_idxs defaults to the
+        first sequence — pass the worker's own shard when mining is
+        distributed."""
         from liso_tpu.eval.run_val import mined_db_predictor
         from liso_tpu.visu.bbox_image import render_frame
 
-        seq = self._sequences(dataset)[0][:max_frames]
+        seq = (
+            seq_idxs if seq_idxs is not None else self._sequences(dataset)[0]
+        )[:max_frames]
         frames = frames_from_dataset(dataset, seq)
         predict = mined_db_predictor(self.mined_db or {})
         images = []

@@ -15,10 +15,17 @@ from typing import Any, Optional
 
 import orbax.checkpoint as ocp
 
+# bump when trained-weight semantics change incompatibly; restore warns on
+# older checkpoints. v2: corr window lookup switched from edge-clamping to
+# the reference's zero padding + tap ordering (motion-encoder weights
+# trained against v1 corr channels silently degrade).
+FORMAT_VERSION = 2
+
 
 def save_checkpoint(ckpt_dir, step: int, state: Any):
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    (ckpt_dir / "format_version").write_text(str(FORMAT_VERSION))
     target = ckpt_dir / str(step)
     if target.exists():  # orbax refuses overwrites; same-step resave wins
         import shutil
@@ -41,8 +48,21 @@ def latest_step(ckpt_dir) -> Optional[int]:
 def restore_checkpoint(ckpt_dir, step: int, target: Any) -> Any:
     """target: a state pytree with the right structure (e.g. from
     init_state) used as the restore template."""
+    import sys
+
+    ckpt_dir = Path(ckpt_dir).absolute()
+    vfile = ckpt_dir / "format_version"
+    saved_v = int(vfile.read_text()) if vfile.exists() else 1
+    if saved_v != FORMAT_VERSION:
+        print(
+            f"WARNING: checkpoint format v{saved_v} != current "
+            f"v{FORMAT_VERSION} — weights trained before a semantics "
+            "change (see utils/checkpoint.FORMAT_VERSION) will run but "
+            "may be silently degraded",
+            file=sys.stderr,
+        )
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(ckpt_dir).absolute() / str(step), target)
+    return ckptr.restore(ckpt_dir / str(step), target)
 
 
 def check_checkpoint_config_sanity(ckpt_dir, cfg, keys=(

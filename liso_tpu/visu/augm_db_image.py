@@ -102,3 +102,48 @@ def log_augm_db_visualization(
             f"{writer_prefix}snippets_{i}", page, global_step,
             dataformats="HWC",
         )
+
+
+def main(argv=None):
+    """Standalone visualizer (reference
+    visu/visualize_box_augmentation_database.py run as a script): render
+    snippet grids from an augm-DB .npy to PNG pages.
+
+      python -m liso_tpu.visu.augm_db_image DB.npy [--out DIR] [--num 32]
+    """
+    import argparse
+    from pathlib import Path
+
+    p = argparse.ArgumentParser()
+    p.add_argument("db", help="augm_db .npy (tracker/dbs.save_augm_db)")
+    p.add_argument("--out", default=".")
+    p.add_argument("--num", type=int, default=32)
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    from liso_tpu.tracker.dbs import load_augm_db
+
+    db = load_augm_db(args.db)
+    # on-disk DBs are finalized (stacked box arrays); the renderer takes
+    # the raw per-entry form
+    db = dict(db)
+    db["boxes"] = [
+        {k: v[i] for k, v in db["boxes"].items()}
+        for i in range(len(db["pcl_in_box_cosy"]))
+    ]
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i, page in enumerate(grid_of_snippets(db, num_boxes=args.num)):
+        path = out / f"augm_db_snippets_{i}.png"
+        Image.fromarray(
+            (np.clip(page, 0, 1) * 255).astype(np.uint8)
+        ).save(path)
+        paths.append(path)
+    print(f"wrote {len(paths)} page(s) to {out}")
+    return paths
+
+
+if __name__ == "__main__":
+    main()

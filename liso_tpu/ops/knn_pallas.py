@@ -31,7 +31,7 @@ _RT = 1024  # refs per VMEM tile
 
 
 def _knn_kernel(ranges_ref, q_ref, r_ref, out_ref, best_ref, bidx_ref, *,
-                n_ref_tiles, margin):
+                n_ref_tiles):
     ib = pl.program_id(0)
     iq = pl.program_id(1)
     nq_chunks = pl.num_programs(1)
@@ -137,7 +137,7 @@ def _nn1_impl(q, qpen, refs, rpen, margin=8.0, interpret=False):
     ranges = jnp.stack([t_lo, t_hi], axis=-1).reshape(-1).astype(jnp.int32)
 
     out = pl.pallas_call(
-        partial(_knn_kernel, n_ref_tiles=n_ref_tiles, margin=margin),
+        partial(_knn_kernel, n_ref_tiles=n_ref_tiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, nq_pad // _QC),

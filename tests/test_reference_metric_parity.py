@@ -1027,3 +1027,50 @@ def test_small_encoder_weight_conversion_matches_reference():
     enc = SmallEncoder(output_dim=128, torch_compat=True)
     got = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_conv_gru_fused_gates_match_reference():
+    """Our ConvGRU fuses convz+convr into one conv (concatenated output
+    channels) — converting the reference's separate gate weights must
+    reproduce its hidden state exactly."""
+    import ref_import_shims
+
+    ref_import_shims.install()
+    import jax.numpy as jnp
+    import torch
+    from liso.slim.model.update import ConvGRU as RefGRU
+
+    from liso_tpu.models.raft import ConvGRU
+
+    torch.manual_seed(0)
+    hidden, inp_dim = 96, 80
+    ref = RefGRU(hidden_dim=hidden, input_dim=hidden + inp_dim).eval()
+
+    def conv(w, b):
+        return {"kernel": jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(b.detach().numpy())}
+
+    z = conv(ref.convz.weight, ref.convz.bias)
+    rr = conv(ref.convr.weight, ref.convr.bias)
+    params = {
+        "convzr": {
+            "kernel": jnp.concatenate([z["kernel"], rr["kernel"]], axis=-1),
+            "bias": jnp.concatenate([z["bias"], rr["bias"]]),
+        },
+        "convq": conv(ref.convq.weight, ref.convq.bias),
+    }
+
+    r = np.random.RandomState(0)
+    h = r.randn(2, 12, 16, hidden).astype(np.float32)
+    x = r.randn(2, 12, 16, inp_dim).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            ref(torch.tensor(h).permute(0, 3, 1, 2),
+                torch.tensor(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1).numpy()
+        )
+    gru = ConvGRU(hidden_dim=hidden)
+    got = np.asarray(
+        gru.apply({"params": params}, jnp.asarray(h), jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -502,10 +502,17 @@ class RAFT(nn.Module):
     predict_weight_for_static_aggregation: bool = False
     joint_encoders: bool = True  # one shared tower (TPU-first); False =
     # reference twin fnet/cnet towers
+    torch_compat: bool = False  # with joint_encoders=False: torch-aligned
+    # padding + downsample quirks so converted reference checkpoints
+    # (models/torch_compat.convert_raft_state_dict) are value-exact
     dtype: object = None  # set jnp.bfloat16 for mixed-precision compute
 
     def setup(self):
         if self.joint_encoders:
+            assert not self.torch_compat, (
+                "torch_compat requires the reference twin-tower layout "
+                "(joint_encoders=False)"
+            )
             self.joint = JointEncoder(
                 self.corr_feature_dim,
                 self.hidden_dim + self.context_dim,
@@ -514,10 +521,12 @@ class RAFT(nn.Module):
             )
         else:
             self.fnet = SmallEncoder(
-                self.corr_feature_dim, self.fnet_norm, self.dtype
+                self.corr_feature_dim, self.fnet_norm, self.dtype,
+                torch_compat=self.torch_compat,
             )
             self.cnet = SmallEncoder(
-                self.hidden_dim + self.context_dim, "none", self.dtype
+                self.hidden_dim + self.context_dim, "none", self.dtype,
+                torch_compat=self.torch_compat,
             )
         self.update_block = SmallUpdateBlock(
             self.hidden_dim,

@@ -73,7 +73,13 @@ def main():
 
         return run, x0
 
-    rows = []
+    print(f"grid {g}, batch {b}, backend {jax.default_backend()}", flush=True)
+
+    class rows:  # print each stage as it lands (TPU-tunnel runs are slow)
+        @staticmethod
+        def append(item):
+            name, ms = item
+            print(f"  {name:<28}{ms:>9.2f} ms", flush=True)
 
     # --- encode
     enc_fn, enc_x = chain(
@@ -166,9 +172,6 @@ def main():
     )
     rows.append(("flow pass (final-only ups)", timeit(fp2_fn, fmap0, iters=iters)))
 
-    print(f"grid {g}, batch {b}, backend {jax.default_backend()}")
-    for name, ms in rows:
-        print(f"  {name:<28}{ms:>9.2f} ms")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,70 @@ def _binary_clf_curve(y_true, y_score, pos_label=None, sample_weight=None):
     return fps, tps, y_score[idxs]
 
 
+class _Quaternion:
+    """Minimal pyquaternion.Quaternion stand-in for the vendored nuScenes
+    devkit's eval path (quaternion_yaw needs only construction from a
+    wxyz sequence + .rotation_matrix)."""
+
+    def __init__(self, *args, **kwargs):
+        if kwargs:
+            raise RuntimeError("pyquaternion shim: kwargs init not supported")
+        if len(args) == 1:
+            w, x, y, z = np.asarray(args[0], dtype=np.float64)
+        elif len(args) == 4:
+            w, x, y, z = (float(a) for a in args)
+        else:
+            raise RuntimeError("pyquaternion shim: unsupported init")
+        self.q = np.array([w, x, y, z], np.float64)
+
+    @property
+    def elements(self):
+        return self.q
+
+    @property
+    def rotation_matrix(self):
+        w, x, y, z = self.q / np.linalg.norm(self.q)
+        return np.array(
+            [
+                [
+                    1 - 2 * (y * y + z * z),
+                    2 * (x * y - z * w),
+                    2 * (x * z + y * w),
+                ],
+                [
+                    2 * (x * y + z * w),
+                    1 - 2 * (x * x + z * z),
+                    2 * (y * z - x * w),
+                ],
+                [
+                    2 * (x * z - y * w),
+                    2 * (y * z + x * w),
+                    1 - 2 * (x * x + y * y),
+                ],
+            ]
+        )
+
+
+def install_nuscenes_devkit():
+    """Make the VENDORED nuScenes devkit importable (it only needs a
+    pyquaternion shim in this image; cv2/matplotlib are present)."""
+    sdk = "/root/reference/nuscenes-devkit/python-sdk"
+    if sdk not in sys.path:
+        sys.path.insert(0, sdk)
+    try:
+        import pyquaternion  # noqa: F401
+    except ImportError:
+        _stub("pyquaternion", Quaternion=_Quaternion)
+    try:
+        import cachetools  # noqa: F401
+    except ImportError:  # devkit map_mask decorates with @cached
+        _stub(
+            "cachetools",
+            cached=lambda *a, **k: (lambda fn: fn),
+            LRUCache=lambda *a, **k: {},
+        )
+
+
 def install():
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")

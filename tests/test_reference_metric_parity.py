@@ -1206,3 +1206,102 @@ def test_full_raft_checkpoint_conversion_replays_reference():
             out[it, ..., 8:9], ref_wlog, rtol=1e-3, atol=2e-3,
             err_msg=f"weight logits iter {it}",
         )
+
+
+def test_nuscenes_devkit_cross_check(tmp_path):
+    """Run the OFFICIAL vendored nuScenes devkit (accumulate/calc_ap/
+    calc_tp/DetectionMetrics, exactly as liso/eval/
+    nuscenes_metrics_wrapper.py:71-166 drives it with its custom
+    movable-only config) on random GT/pred boxes, and pin our
+    eval/nuscenes_wrapper.py mAP, NDS, and all five TP errors against it."""
+    import ref_import_shims
+
+    ref_import_shims.install_nuscenes_devkit()
+    from nuscenes.eval.common.data_classes import EvalBoxes
+    from nuscenes.eval.common.utils import center_distance
+    from nuscenes.eval.detection.algo import accumulate, calc_ap, calc_tp
+    from nuscenes.eval.detection.constants import TP_METRICS
+    from nuscenes.eval.detection.data_classes import (
+        DetectionBox, DetectionMetrics,
+    )
+
+    from liso_tpu.eval.nuscenes_wrapper import (
+        NuscenesObjectDetectionMetrics, _yaw_to_quat_wxyz,
+    )
+
+    class _Cfg:  # nuscenes_metrics_wrapper.py:107-115 custom config
+        class_range = {"movable": 50}
+        class_names = ["movable"]
+        dist_ths = [0.5, 1.0, 2.0, 4.0]
+        dist_th_tp = 2.0
+        min_recall = 0.1
+        min_precision = 0.1
+        mean_ap_weight = 5
+
+        def serialize(self):
+            return {}
+
+    def to_devkit(b, token, is_gt):
+        quats = _yaw_to_quat_wxyz(np.asarray(b["rot"])[:, 0])
+        out = []
+        for i in range(len(b["pos"])):
+            kw = {}
+            if not is_gt:
+                kw["detection_score"] = float(b["probs"][i, 0])
+            out.append(
+                DetectionBox(
+                    sample_token=token,
+                    translation=tuple(float(x) for x in b["pos"][i]),
+                    size=tuple(float(x) for x in b["dims"][i]),
+                    rotation=tuple(float(x) for x in quats[i]),
+                    velocity=(0.0, 0.0),
+                    detection_name="movable",
+                    num_pts=-1,
+                    **kw,
+                )
+            )
+        return out
+
+    ours = NuscenesObjectDetectionMetrics(eval_movable_classes_as_one=True)
+    gt_eb, pred_eb = EvalBoxes(), EvalBoxes()
+    r = np.random.RandomState(7)
+    for s in range(4):
+        g = _boxes(6, 10 + s)
+        p = _noisy(g, 200 + s, extra=4)
+        # duplicate scores to exercise the devkit's tie-break ordering
+        p["probs"][1::3] = p["probs"][0]
+        g.pop("velo")  # reference protocol: velocity (0,0) on both sides
+        p.pop("velo")
+        tok = f"tok{s}"
+        ours.update(g, p, sample_token=tok)
+        gt_eb.add_boxes(sample_token=tok, boxes=to_devkit(g, tok, True))
+        pred_eb.add_boxes(sample_token=tok, boxes=to_devkit(p, tok, False))
+
+    cfg = _Cfg()
+    metrics = DetectionMetrics(cfg)
+    for th in cfg.dist_ths:
+        md = accumulate(
+            gt_eb, pred_eb, "movable", center_distance, th, {}, verbose=False
+        )
+        metrics.add_label_ap("movable", th, calc_ap(md, 0.1, 0.1))
+        if th == cfg.dist_th_tp:
+            for m in TP_METRICS:
+                metrics.add_label_tp("movable", m, calc_tp(md, 0.1, m))
+
+    ref = metrics.serialize()
+    our = ours.compute()
+    np.testing.assert_allclose(our["nusc/mAP"], ref["mean_ap"], atol=1e-12)
+    np.testing.assert_allclose(our["nusc/NDS"], ref["nd_score"], atol=1e-12)
+    for ref_name, our_name in (
+        ("trans_err", "mATE"), ("scale_err", "mASE"), ("orient_err", "mAOE"),
+        ("vel_err", "mAVE"), ("attr_err", "mAAE"),
+    ):
+        np.testing.assert_allclose(
+            our[f"nusc/{our_name}"], ref["tp_errors"][ref_name], atol=1e-12,
+            err_msg=our_name,
+        )
+    for th in cfg.dist_ths:
+        np.testing.assert_allclose(
+            our[f"nusc/AP_movable_overall_dist@{th}"],
+            ref["label_aps"]["movable"][th], atol=1e-12,
+        )

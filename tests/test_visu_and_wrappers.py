@@ -60,7 +60,11 @@ def test_nuscenes_wrapper_perfect_prediction():
     out = m.compute()
     assert out["nusc/mAP"] > 0.95
     assert out["nusc/mATE"] < 1e-6
-    assert out["nusc/NDS"] > 0.95
+    # devkit convention: no attribute labels -> attr error 1 -> score 0,
+    # so a perfect no-attribute prediction tops out at NDS = 0.9
+    # (pinned devkit-exact by test_nuscenes_devkit_cross_check)
+    assert abs(out["nusc/NDS"] - 0.9) < 1e-6
+    assert out["nusc/mAAE"] == 1.0
 
 
 def test_nuscenes_wrapper_no_detections():

@@ -106,6 +106,18 @@ def set_seed(seed: int):
     np.random.seed(seed)
 
 
+def set_detect_anomaly(enabled: bool):
+    """JAX analogue of the reference's torch.autograd.set_detect_anomaly
+    wiring (config_helper_helper.py:174): jax_debug_nans re-runs any jitted
+    computation that produced a NaN/Inf op-by-op and raises at the
+    originating op — same trade (precise provenance for a large slowdown),
+    so it is driven by the same config key. SLIM training enables it via
+    cfg.SLIM.set_detect_anomaly exactly like the reference preset."""
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(enabled))
+
+
 def load_cfg_make_logdir(args, exp_name: str):
     cfg = parse_config(
         args.config_file, args.configs, args.key_value
@@ -115,6 +127,7 @@ def load_cfg_make_logdir(args, exp_name: str):
     if getattr(args, "profile", False) or getattr(args, "cprofile", False):
         cfg = apply_profile(cfg)
     set_seed(int(cfg.seed))
+    set_detect_anomaly(bool(getattr(cfg, "set_detect_anomaly", False)))
     cfg_hash = get_config_hash(cfg)[:5]
     stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     log_dir = Path(args.summary_dir) / exp_name / cfg_hash / stamp

@@ -134,6 +134,11 @@ def make_train_dataset(cfg, dcfg, fast_test: bool, mined_db=None):
 def main(argv=None):
     args = parse_cli_args(argv)
     cfg, log_dir = load_cfg_make_logdir(args, "slim")
+    # SLIM preset carries its own anomaly toggle (reference
+    # liso_config.yml:235 under the SLIM tree)
+    from liso_tpu.cli.common import set_detect_anomaly
+
+    set_detect_anomaly(bool(getattr(cfg.SLIM, "set_detect_anomaly", False)))
     train_ds, val_ds, bev = build_datasets(cfg, args.fast_test)
 
     from liso_tpu.train.slim_experiment import SlimExperiment

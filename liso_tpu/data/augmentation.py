@@ -76,6 +76,29 @@ def augment_sample_content(
     return out
 
 
+def resolution_raydrop_augmentation(
+    pts_sensor: np.ndarray, rng: np.random.RandomState
+) -> np.ndarray:
+    """Spherical re-discretization raydrop: re-grid the snippet's points
+    onto a random coarser azimuth/elevation raster and keep only every
+    drop_ratio-th cell — simulates a lower-resolution sensor.
+
+    Behavioral reference: torch_dataset_commons.py:1786-1804
+    (resolution_raydrop_augmentation) — same discretization choices
+    (2*pi / {600, 900, 1200, 1500}), same drop ratios {1, 2}, same
+    azimuth/elevation index tests."""
+    range_m = np.linalg.norm(pts_sensor[:, :3], axis=-1)
+    azimuth = np.arctan2(pts_sensor[:, 1], pts_sensor[:, 0])
+    elevation = np.arccos(
+        np.clip(pts_sensor[:, 2] / np.maximum(1e-5, range_m), -1.0, 1.0)
+    )
+    resolution = 2.0 * np.pi / rng.choice([600, 900, 1200, 1500])
+    azi_idx = (azimuth / resolution).astype(np.int64)
+    ele_idx = (elevation / resolution).astype(np.int64)
+    drop_ratio = rng.choice([1, 2])
+    return ((azi_idx % drop_ratio) == 0) & ((ele_idx % drop_ratio) == 0)
+
+
 def paste_boxes_into_sample(
     pcl: np.ndarray,  # [N, 4] cropped cloud (will grow)
     rows: np.ndarray,  # [N]
@@ -143,6 +166,13 @@ def paste_boxes_into_sample(
                 replace=False,
             )
             keep &= ~np.isin(lrows, drop_rows)
+        if cfg.use_raydrop_augm:
+            # second raydrop stage (torch_dataset_commons.py:1623): spherical
+            # re-discretization on the sensor-frame snippet; skipped when it
+            # would drop every point (reference's count_nonzero guard)
+            res_keep = resolution_raydrop_augmentation(pts4, rng)
+            if np.count_nonzero(keep & res_keep) > 0:
+                keep &= res_keep
         if cfg.max_points_dropout > 0:
             keep &= rng.rand(len(pts4)) > rng.uniform(0, cfg.max_points_dropout)
         if keep.sum() < 5:

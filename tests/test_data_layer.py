@@ -182,3 +182,86 @@ def test_raw_label_map_unknown_color_is_zero():
     np.testing.assert_allclose(colors[0], (0, 0, 0, 0))  # ignore -> zero row
     np.testing.assert_allclose(colors[1], (0, 0, 0, 0))
     np.testing.assert_allclose(colors[2], (1, 0, 0, 1))  # car stays red
+
+
+def test_resolution_raydrop_augmentation():
+    from liso_tpu.data.augmentation import resolution_raydrop_augmentation
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-20, 20, (5000, 4)).astype(np.float32)
+
+    class FixedRng:
+        """Pin the two rng.choice draws (resolution divisor, drop ratio)."""
+
+        def __init__(self, divisor, ratio):
+            self._draws = [divisor, ratio]
+
+        def choice(self, options):
+            return self._draws.pop(0)
+
+    # drop_ratio 1 keeps everything
+    keep = resolution_raydrop_augmentation(pts, FixedRng(900, 1))
+    assert keep.all()
+    # drop_ratio 2 keeps roughly a quarter (every 2nd azi x every 2nd ele)
+    keep2 = resolution_raydrop_augmentation(pts, FixedRng(900, 2))
+    frac = keep2.mean()
+    assert 0.15 < frac < 0.4, frac
+    # matches the explicit spherical re-discretization formula
+    r = np.linalg.norm(pts[:, :3], axis=-1)
+    azi = np.arctan2(pts[:, 1], pts[:, 0])
+    ele = np.arccos(np.clip(pts[:, 2] / np.maximum(1e-5, r), -1, 1))
+    res = 2 * np.pi / 900
+    expect = ((azi / res).astype(np.int64) % 2 == 0) & (
+        (ele / res).astype(np.int64) % 2 == 0
+    )
+    np.testing.assert_array_equal(keep2, expect)
+
+
+def test_paste_boxes_resolution_raydrop_branch():
+    """use_raydrop_augm now runs BOTH raydrop stages; pasted snippets still
+    land with plausible membership (torch_dataset_commons.py:1600-1628)."""
+    rng = np.random.RandomState(3)
+    snippet = np.concatenate(
+        [rng.uniform(-1.5, 1.5, (400, 3)), rng.rand(400, 1)], -1
+    ).astype(np.float32)
+    db = {
+        "pcl_in_box_cosy": [snippet],
+        "lidar_rows": [rng.randint(0, 64, 400)],
+        "boxes": {
+            "pos": np.array([[8.0, 0.0, -1.0]], np.float32),
+            "dims": np.array([[4.0, 2.0, 1.6]], np.float32),
+            "rot": np.zeros((1, 1), np.float32),
+            "probs": np.ones((1, 1), np.float32),
+            "velo": np.zeros((1, 1), np.float32),
+        },
+        "box_T_sensor": np.eye(4)[None],
+        "unique_track_id": np.array([7]),
+    }
+    pcl = rng.uniform(-15, 15, (500, 4)).astype(np.float32)
+    rows = rng.randint(0, 64, 500)
+    out_pcl, out_rows, boxes = paste_boxes_into_sample(
+        pcl, rows, db, rng, (40.0, 40.0),
+        BoxAugmCfg(max_num_objs=1, max_points_dropout=0.0,
+                   use_raydrop_augm=True),
+        occupied_xy=np.zeros((0, 2)),
+    )
+    if len(boxes["pos"]):  # paste may be skipped by placement filters
+        n_new = len(out_pcl) - len(pcl)
+        assert 0 < n_new <= 400
+        assert len(out_rows) == len(out_pcl)
+
+
+def test_set_detect_anomaly_wires_jax_debug_nans():
+    import jax
+    import jax.numpy as jnp
+
+    from liso_tpu.cli.common import set_detect_anomaly
+
+    try:
+        set_detect_anomaly(True)
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.zeros(()) - 1.0).block_until_ready()
+    finally:
+        set_detect_anomaly(False)
+    assert not jax.config.jax_debug_nans

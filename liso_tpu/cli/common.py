@@ -95,6 +95,9 @@ def apply_fast_test(cfg: Config) -> Config:
     cfg.data.num_workers = 2
     cfg.data.tracking_cfg.min_track_age = 2
     cfg.data.tracking_cfg.max_augm_db_size_mb = 1
+    # reference fast-test mining budget (liso_cli.py:250-252)
+    cfg.data.tracking_cfg.min_num_boxes = 2
+    cfg.data.tracking_cfg.timeout_s = 60
     cfg.SLIM.iterations.train = 3
     cfg.SLIM.iterations.eval_every = 2
     cfg.SLIM.iterations.full_eval_every = 2

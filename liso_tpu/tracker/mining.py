@@ -103,23 +103,34 @@ def mine_sequence(
     detect_fn: Callable[[Frame], Boxes],
     cfg: MiningCfg,
     bev: BevSetup,
+    detect_batch_fn: Optional[Callable[[List[Frame]], List[Boxes]]] = None,
 ) -> Dict[str, object]:
     """Returns {"mined_db": ..., "raw_db": ..., "augm_db": ...,
-    "num_tracks": int}."""
+    "num_tracks": int}.
+
+    detect_batch_fn, when given, precomputes detections for ALL frames in
+    fixed-size device batches (one predict dispatch per chunk instead of one
+    per frame — mining inference was batch-1 per frame in the reference,
+    tracking.py:639-644 DataLoader(batch_size=1))."""
     import time as _time
 
     tracker = FlowBasedBoxTracker(cfg.box_matching_threshold_m)
     raw_db: Dict[str, dict] = {}
     t_start = _time.time()
 
-    for frame in frames:
+    pre_boxes: Optional[List[Boxes]] = (
+        detect_batch_fn(frames) if detect_batch_fn is not None else None
+    )
+
+    for fi, frame in enumerate(frames):
         if cfg.timeout_s and _time.time() - t_start > cfg.timeout_s:
             print(
                 f"mining watchdog: timeout after "
                 f"{len(tracker.boxes_sensor)} frames — finishing early"
             )
             break
-        boxes = detect_fn(frame)  # fixed-capacity, includes NMS
+        # fixed-capacity, includes NMS
+        boxes = pre_boxes[fi] if pre_boxes is not None else detect_fn(frame)
         pcl = jnp.asarray(frame.pcl)
         valid = jnp.asarray(frame.valid)
         flow = jnp.asarray(frame.flow)

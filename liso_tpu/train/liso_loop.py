@@ -241,6 +241,35 @@ class LisoSelfTraining:
 
         return detect
 
+    def _detector_detect_batch_fn(self, batch_size: int = 8):
+        """Chunked mining inference: stack `batch_size` frames per
+        predict_step dispatch (the last chunk pads by repeating its final
+        frame so predict_step keeps ONE compiled shape). The reference mines
+        at batch 1 per frame (tracking.py:639 DataLoader(batch_size=1)); on
+        TPU the ~30 ms dispatch round-trip dominates a batch-1 detect, so
+        batching frames is a near-linear mining speedup."""
+        trainer, state = self.trainer, self.state
+        n_max = self.data_cfg.n_max
+
+        def detect_many(frames) -> list:
+            out = []
+            for i in range(0, len(frames), batch_size):
+                chunk = frames[i : i + batch_size]
+                n_real = len(chunk)
+                while len(chunk) < batch_size:  # pad to the compiled shape
+                    chunk = list(chunk) + [chunk[-1]]
+                padded = [pad_to(f.pcl, n_max) for f in chunk]
+                pts = jnp.asarray(np.stack([p for p, _ in padded]))
+                valid = jnp.asarray(np.stack([v for _, v in padded]))
+                boxes = trainer.predict_step(state, pts, valid)
+                boxes = jax.device_get(boxes)
+                out.extend(
+                    jax.tree.map(lambda x: x[j], boxes) for j in range(n_real)
+                )
+            return out
+
+        return detect_many
+
     # ------------------------------------------------------------------
     def mine(
         self, dataset: LidarDataset, world_size: int = 1, worker_id: int = 0
@@ -250,28 +279,59 @@ class LisoSelfTraining:
         (the reference's embarrassingly-parallel job sharding, SURVEY §2.9);
         per-worker DBs merge by dict union / list concat."""
         t0 = time.time()
+        bootstrap = self.round_idx == 0 or self.state is None
         detect_fn = (
             self._bootstrap_detect_fn()
-            if self.round_idx == 0 or self.state is None
+            if bootstrap
             else self._detector_detect_fn()
         )
+        detect_batch_fn = None if bootstrap else self._detector_detect_batch_fn()
         mcfg = (
             self.mining_cfg_bootstrap
             if self.round_idx == 0
             else self.mining_cfg_detector
         )
+        # reference stop conditions (tracking.py:594): keep consuming
+        # sequences until enough tracks were mined or the timeout fires;
+        # both unset => mine every sequence (the reference's default, where
+        # min_num_boxes falls back to uint64 max, tracking.py:522-523)
+        tc = self.cfg.data.tracking_cfg
+        min_num_boxes = getattr(tc, "min_num_boxes", None)
+        min_num_boxes = (
+            float("inf") if min_num_boxes in (None, "None") else int(min_num_boxes)
+        )
+        timeout_s = getattr(tc, "timeout_s", None)
+        timeout_at = (
+            t0 + float(timeout_s)
+            if timeout_s not in (None, "None")
+            else float("inf")
+        )
         mined: Dict[str, dict] = {}
         augm = None
         n_seqs = 0
+        num_successful_tracks = 0
         sequences = [
             s
             for i, s in enumerate(self._sequences(dataset))
             if i % world_size == worker_id
         ]
         for seq in sequences:
+            if num_successful_tracks >= min_num_boxes:
+                print(
+                    f"mining: reached min_num_boxes={min_num_boxes} after "
+                    f"{n_seqs} sequences — stopping early"
+                )
+                break
+            if time.time() > timeout_at:
+                print(f"mining: timeout after {timeout_s}s — stopping early")
+                break
             frames = frames_from_dataset(dataset, seq)
-            result = mine_sequence(frames, detect_fn, mcfg, self.bev)
+            result = mine_sequence(
+                frames, detect_fn, mcfg, self.bev,
+                detect_batch_fn=detect_batch_fn,
+            )
             mined.update(result["mined_db"])
+            num_successful_tracks += int(result["num_tracks"])
             if augm is None:
                 augm = result["augm_db"]
             else:

@@ -111,3 +111,85 @@ def test_mining_cli_end_to_end(tmp_path):
     assert mined and augm
     assert (log_dir / "tracked_sequence.gif").exists()
     assert (log_dir / "mined_round_0" / "tracking_cfg.yaml").exists()
+
+
+def test_mining_min_num_boxes_stops_early(fast_cfg, tmp_path):
+    """tracking.py:594 stop condition: once enough tracks are mined (here:
+    0, so immediately) no further sequence is consumed."""
+    import copy
+
+    cfg = copy.deepcopy(fast_cfg)
+    cfg.data.tracking_cfg.min_num_boxes = 0
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    dcfg = DataCfg(
+        bev=bev, n_max=4096, m_max=12288, k_max_boxes=16,
+        use_skip_frames="never",
+    )
+
+    def factory(mined_db):
+        return SyntheticDataset(dcfg, n_frames=4, mined_boxes_db=mined_db)
+
+    val_ds = SyntheticDataset(dcfg, n_frames=2, seed=1)
+    loop = LisoSelfTraining(cfg, factory, val_ds, tmp_path, data_cfg=dcfg)
+    ds = factory(None)
+    loop.mine(ds)
+    n_mined = sum(len(v["track_id"]) for v in loop.mined_db.values())
+    assert n_mined == 0
+    assert len(loop.augm_db["pcl_in_box_cosy"]) == 0
+
+
+def test_mine_sequence_batched_detection_matches_per_frame():
+    """detect_batch_fn precomputation must reproduce the per-frame path
+    exactly (same mined DB)."""
+    from liso_tpu.tracker.mining import Frame, MiningCfg, mine_sequence
+    from liso_tpu.ops.boxes import Boxes
+    import jax.numpy as jnp
+
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    rng = np.random.RandomState(0)
+    n, T = 512, 6
+    base = rng.uniform(-15, 15, (n, 4)).astype(np.float32)
+    frames = []
+    for t in range(T):
+        pcl = base.copy()
+        # a dense moving cluster the fake detector will box
+        pcl[:64, :3] = rng.uniform(-1, 1, (64, 3)) * 0.8 + np.array(
+            [5.0 + 0.5 * t, 0.0, 0.0], np.float32
+        )
+        flow = np.zeros((n, 3), np.float32)
+        flow[:64, 0] = 0.5
+        frames.append(
+            Frame(
+                sample_id=f"s{t}",
+                pcl=pcl,
+                valid=np.ones(n, bool),
+                flow=flow,
+                odom_ta_tb=np.eye(4),
+            )
+        )
+
+    def fake_det(frame):
+        t = int(frame.sample_id[1:])
+        return Boxes(
+            pos=jnp.asarray([[5.0 + 0.5 * t, 0.0, 0.0]], jnp.float32),
+            dims=jnp.asarray([[2.0, 2.0, 2.0]], jnp.float32),
+            rot=jnp.asarray([[0.0]], jnp.float32),
+            probs=jnp.asarray([[0.9]], jnp.float32),
+            valid=jnp.asarray([True]),
+        )
+
+    cfg = MiningCfg(
+        min_track_age=2, min_points_in_box=5, smoothing_iters=50,
+        flow_cluster_min_travel_dist_m=0.5, is_flow_cluster_detector=False,
+    )
+    out_a = mine_sequence(frames, fake_det, cfg, bev)
+    out_b = mine_sequence(
+        frames, fake_det, cfg, bev,
+        detect_batch_fn=lambda fs: [fake_det(f) for f in fs],
+    )
+    assert out_a["num_tracks"] == out_b["num_tracks"] > 0
+    for sid in out_a["mined_db"]:
+        np.testing.assert_allclose(
+            out_a["mined_db"][sid]["lidar_T_box"],
+            out_b["mined_db"][sid]["lidar_T_box"],
+        )

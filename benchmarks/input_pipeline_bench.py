@@ -29,12 +29,35 @@ def main(argv=None):
     bev = BevSetup((120.0, 120.0), (920, 920))
     cfg = DataCfg(bev=bev, n_max=args.n_max, m_max=2 * args.n_max,
                   k_max_boxes=64)
-    ds = SyntheticDataset(cfg, n_frames=max(args.batches * args.batch_size,
-                                            16), n_points=args.n_max)
-    loader = Prefetcher(ds, batch_size=args.batch_size,
-                        num_workers=args.workers)
-    it = iter(loader)
-    next(it)  # warm caches / thread spin-up
+    # Spill pre-generated sample dicts to disk and load them back per
+    # access: measures the REAL path (npy read + crop/ground/pad/collate),
+    # not the synthetic generator (real datasets read these dicts from the
+    # ETL output with np.load, e.g. data/kitti.py)
+    import tempfile
+
+    import numpy as np
+
+    n_frames = 16
+    gen = SyntheticDataset(cfg, n_frames=n_frames, n_points=args.n_max)
+    spool = tempfile.mkdtemp(prefix="liso_pipe_bench_")
+    for i in range(n_frames):
+        np.save(f"{spool}/{i}.npy", gen.load_sample_dict(i),
+                allow_pickle=True)
+
+    class DiskBacked(SyntheticDataset):
+        def load_sample_dict(self, idx: int) -> dict:
+            return np.load(f"{spool}/{idx}.npy", allow_pickle=True).item()
+
+    ds = DiskBacked(cfg, n_frames=n_frames, n_points=256)  # tiny generator
+
+    def epochs():
+        while True:
+            loader = Prefetcher(ds, batch_size=args.batch_size,
+                                num_workers=args.workers)
+            yield from iter(loader)
+
+    it = epochs()
+    next(it)  # warm caches / worker spin-up
     t0 = time.perf_counter()
     n = 0
     for batch in it:

@@ -100,10 +100,11 @@ def main():
         rng.uniform(0, gc, (b, gc, gc, 2)).astype(np.float32)
     )
 
-    # --- one lookup (prepared once, like the real loop)
+    # --- one lookup (prepared once, like the real loop); pyramid passed as
+    # an argument, NOT a closure constant (constants upload with the HLO)
     @jax.jit
-    def lk_run(coords):
-        lookup = make_corr_lookup(pyramid)
+    def lk_run(pyr, coords):
+        lookup = make_corr_lookup(pyr)
 
         def body(_, carry):
             c, acc = carry
@@ -113,7 +114,37 @@ def main():
         _, acc = jax.lax.fori_loop(0, iters, body, (coords, jnp.zeros(())))
         return acc
 
-    rows.append(("corr lookup (1 iter)", timeit(lk_run, coords, iters=iters)))
+    import os
+
+    if os.environ.get("LISO_CORR_PATH", "fused") != "fused" or not on_tpu:
+        rows.append(
+            ("corr lookup (1 iter)",
+             timeit(lk_run, pyramid, coords, iters=iters))
+        )
+
+    # --- fused recompute lookup (pallas): pool+prepare once, lookup per iter
+    from liso_tpu.ops.corr_fused_pallas import (
+        corr_window_features, pool_f1_levels,
+    )
+
+    f1cat, lvls = pool_f1_levels(fmap1, 4)
+    f0_flat = fmap0.reshape(b, gc * gc, -1)
+
+    @jax.jit
+    def fused_run(f0f, f1c, coords):
+        def body(_, carry):
+            c, acc = carry
+            out = corr_window_features(f0f, f1c, c + 0.0 * acc, lvls)
+            return c, acc + 1e-12 * out.sum()
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (coords, jnp.zeros(())))
+        return acc
+
+    if on_tpu:
+        rows.append(
+            ("fused corr lookup (1 iter)",
+             timeit(fused_run, f0_flat, f1cat, coords, iters=iters))
+        )
 
     # --- one update-block step
     net = jnp.tanh(cn0[..., :96])

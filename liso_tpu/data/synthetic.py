@@ -155,10 +155,16 @@ class SyntheticSequence:
 
 class SyntheticDataset(LidarDataset):
     def __init__(self, cfg: DataCfg, n_frames: int = 12, seed: int = 0,
-                 augmentation=None, n_points: int = 6000, **kw):
+                 augmentation=None, n_points: int = 6000,
+                 cache_content: bool = False, **kw):
+        # cache_content memoizes the generated sample dicts so throughput
+        # benchmarks measure the PIPELINE (crop/ground/pad/collate), not the
+        # synthetic generator — real datasets load these dicts from npz.
+        # Off by default: at 65k points a cached triple is ~3 MB/frame.
         self.seq = SyntheticSequence(
             n_frames=n_frames + 2, seed=seed, n_bg=n_points
         )
+        self._content_cache = {} if cache_content else None
         super().__init__(
             cfg,
             sample_files=[Path(f"synth0_{t:04d}.npy") for t in range(n_frames)],
@@ -167,6 +173,10 @@ class SyntheticDataset(LidarDataset):
         )
 
     def load_sample_dict(self, idx: int) -> dict:
+        if self._content_cache is not None:
+            if idx not in self._content_cache:
+                self._content_cache[idx] = self.seq.sample_dict(idx)
+            return self._content_cache[idx]
         return self.seq.sample_dict(idx)
 
     def extract_gt_boxes(self, content: dict, time_key: str):

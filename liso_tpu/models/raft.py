@@ -258,13 +258,25 @@ def lookup_corr(
     return jnp.concatenate(out, axis=-1)
 
 
-def _use_mm_lookup() -> bool:
+def _corr_path() -> str:
+    """Correlation implementation: 'fused' (TPU default — pallas kernel
+    recomputes per-tile corr rows in VMEM, never materializing the pyramid
+    in HBM, ops/corr_fused_pallas), 'mm' (materialized bf16 volume + one-hot
+    MXU lookups, ops/corr_lookup_mm), 'gather' (jnp gathers — CPU default).
+    Override with LISO_CORR_PATH; LISO_DISABLE_PALLAS_LOOKUP forces
+    'gather' (kept for compatibility)."""
     import os
 
-    return (
-        jax.default_backend() == "tpu"
-        and not os.environ.get("LISO_DISABLE_PALLAS_LOOKUP")
-    )
+    forced = os.environ.get("LISO_CORR_PATH")
+    if forced:
+        return forced
+    if os.environ.get("LISO_DISABLE_PALLAS_LOOKUP"):
+        return "gather"
+    return "fused" if jax.default_backend() == "tpu" else "gather"
+
+
+def _use_mm_lookup() -> bool:
+    return _corr_path() == "mm"
 
 
 def make_corr_lookup(pyramid, radius: int = 3):
@@ -559,14 +571,30 @@ class RAFT(nn.Module):
         upsample_all: bool = True,
     ):
         update = self.update_block
-        pyramid = build_corr_pyramid(
-            fmap0, fmap1, self.corr_levels,
-            # mm-lookup path quantizes to bf16 anyway: write the volume in
-            # bf16 straight from the MXU epilogue (same values, half the
-            # HBM traffic); the gather path keeps fp32
-            out_dtype=jnp.bfloat16 if _use_mm_lookup() else None,
-        )
-        corr_lookup = make_corr_lookup(pyramid, self.corr_radius)
+        if _corr_path() == "fused":
+            # never materialize the pyramid: per-tile corr rows are
+            # recomputed in VMEM inside the pallas lookup kernel
+            # (ops/corr_fused_pallas) — same bf16-quantized values as the
+            # mm path, ~13x less HBM traffic per lookup
+            from liso_tpu.ops.corr_fused_pallas import (
+                corr_window_features, pool_f1_levels,
+            )
+
+            f1cat, lvls = pool_f1_levels(fmap1, self.corr_levels)
+            bsz = fmap0.shape[0]
+            f0_flat = fmap0.reshape(bsz, -1, fmap0.shape[-1])
+            corr_lookup = lambda coords: corr_window_features(
+                f0_flat, f1cat, coords, lvls, self.corr_radius
+            )
+        else:
+            pyramid = build_corr_pyramid(
+                fmap0, fmap1, self.corr_levels,
+                # mm-lookup path quantizes to bf16 anyway: write the volume
+                # in bf16 straight from the MXU epilogue (same values, half
+                # the HBM traffic); the gather path keeps fp32
+                out_dtype=jnp.bfloat16 if _use_mm_lookup() else None,
+            )
+            corr_lookup = make_corr_lookup(pyramid, self.corr_radius)
 
         net = jnp.tanh(cn[..., : self.hidden_dim])
         inp = nn.relu(cn[..., self.hidden_dim :])

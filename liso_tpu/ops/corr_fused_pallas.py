@@ -1,0 +1,352 @@
+"""Fused RAFT correlation: recompute-in-VMEM window lookup (no HBM volume).
+
+The materialized corr pyramid at 512-grid scale is [8, 4096, 64, 64] (+3
+coarser levels) = 356 MB bf16, written once and re-streamed from HBM by all
+6 per-iteration window lookups (ops/corr_lookup_mm) — ~2.5 GB of HBM traffic
+per flow pass on a chip whose virtualized HBM runs at ~157 GB/s. But the
+volume is just corr[p, m] = <f0[p], f1_pooled[m]> / sqrt(C): each pixel
+tile's correlation rows can be RECOMPUTED on the MXU from VMEM-resident
+inputs (f0 tile: 64 KB; all pooled f1 levels: 1.4 MB) far cheaper than they
+can be re-read from HBM. This kernel fuses, per (batch, pixel-tile) grid
+step:
+
+    corrT = f1cat @ f0_tile^T            # [M, P] MXU, fp32 acc -> bf16
+    per level: reshape rows to [hk, wk, P], select the (2r+2)^2 unclipped
+    window taps around each pixel's coords with one-hot masked reductions
+    (exact: one nonzero per sum), emit [L*(2r+2)^2, P]
+
+HBM traffic per lookup drops from ~360 MB (volume re-read) to ~27 MB
+(fmaps + output); the volume write disappears entirely, and ~360 MB of HBM
+stays free. The extra MXU work (46 GFLOP per lookup at bench scale) is noise
+at MXU rates. bf16 quantization of corr matches prepare_corr_volumes_mm, so
+values are bit-identical to the mm-lookup path (and to models/raft.lookup_corr
+on a bf16 pyramid) for ALL coords including far out-of-bounds (zeros — the
+reference grid_sample padding_mode='zeros', raft_code/utils.bilinear_sampler).
+
+The backward kernel mirrors the structure: scatter the window cotangent into
+per-tile corr rows in VMEM (exact: window taps hit distinct (row, col)
+cells), then d_f0_tile^T = f1cat^T @ d_corrT and d_f1cat += d_corrT @
+f0_tile — two MXU matmuls per tile, no HBM-sized intermediates fwd or bwd.
+
+Behavioral reference: liso/slim/model/raft_code/corr.py:6-56 (CorrBlock:
+pyramid build + bilinear window lookup; the bilinear blend and the
+reference's tap ordering happen OUTSIDE this kernel, in
+corr_window_features()).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class CorrLevels(NamedTuple):
+    """Static geometry of the pooled-f1 level stack."""
+
+    shapes: Tuple[Tuple[int, int], ...]  # per level (hk, wk)
+    offsets: Tuple[int, ...]  # row offset of each level in f1cat
+    total: int  # sum of hk*wk (f1cat rows, padded to _ROW_PAD)
+
+
+_ROW_PAD = 8  # f1cat row padding (fp32 sublane tile)
+
+
+def pool_f1_levels(fmap1: jnp.ndarray, num_levels: int):
+    """The reference's volume 2x2-avg-pooling chain applied to fmap1 itself
+    (corr is linear in fmap1 — see models/raft.build_corr_pyramid). Returns
+    (f1cat [B, M, C] bf16, CorrLevels)."""
+    from flax import linen as nn
+
+    b, h, w, c = fmap1.shape
+    shapes: List[Tuple[int, int]] = []
+    flats = []
+    f1l = fmap1
+    for _ in range(num_levels):
+        hk, wk = f1l.shape[1:3]
+        shapes.append((hk, wk))
+        flats.append(f1l.reshape(b, hk * wk, c))
+        if min(hk, wk) < 4:
+            break  # tiny test grids: deeper levels would be empty
+        f1l = nn.avg_pool(f1l, window_shape=(2, 2), strides=(2, 2))
+    offsets = []
+    off = 0
+    for hk, wk in shapes:
+        offsets.append(off)
+        off += hk * wk
+    total = -(-off // _ROW_PAD) * _ROW_PAD
+    f1cat = jnp.concatenate(flats, axis=1).astype(jnp.bfloat16)
+    if total > off:
+        f1cat = jnp.pad(f1cat, ((0, 0), (0, total - off), (0, 0)))
+    return f1cat, CorrLevels(tuple(shapes), tuple(offsets), total)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+def _window_masks(r0, c0, hk, wk, p, radius, dtype):
+    """One-hot row/col masks for the (2r+2) unclipped integer taps around
+    (r0, c0). Out-of-range taps match nothing -> exact zeros."""
+    w1 = 2 * radius + 2
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (hk, p), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (wk, p), 0)
+    row_masks = [
+        (iota_r == (r0 - radius + i)[None, :]).astype(dtype) for i in range(w1)
+    ]
+    col_masks = [
+        (iota_c == (c0 - radius + j)[None, :]).astype(dtype) for j in range(w1)
+    ]
+    return row_masks, col_masks
+
+
+def _fwd_kernel(coords_ref, f0_ref, f1_ref, out_ref, *, levels: CorrLevels,
+                radius: int, scale: float):
+    # coords_ref [1, 2, P] f32; f0_ref [1, P, C] bf16; f1_ref [1, M, C] bf16
+    # out_ref [1, L*w1*w1, P] f32
+    w1 = 2 * radius + 2
+    f0 = f0_ref[0]
+    f1 = f1_ref[0]
+    p = f0.shape[0]
+    # corrT[m, p] = <f1[m], f0[p]> * scale, quantized to bf16 (matches
+    # prepare_corr_volumes_mm exactly)
+    corrt = (
+        jax.lax.dot_general(
+            f1, f0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(jnp.bfloat16)
+    r_full = coords_ref[0, 0, :]
+    c_full = coords_ref[0, 1, :]
+    for lvl, (hk, wk) in enumerate(levels.shapes):
+        r0 = jnp.floor(r_full / (2.0 ** lvl)).astype(jnp.int32)
+        c0 = jnp.floor(c_full / (2.0 ** lvl)).astype(jnp.int32)
+        off = levels.offsets[lvl]
+        corr3 = corrt[off : off + hk * wk].reshape(hk, wk, p)
+        row_m, col_m = _window_masks(r0, c0, hk, wk, p, radius, corrt.dtype)
+        # separable one-hot selection; each sum has <=1 nonzero term (exact)
+        for i in range(w1):
+            wr = jnp.sum(corr3 * row_m[i][:, None, :], axis=0)  # [wk, P]
+            for j in range(w1):
+                tap = jnp.sum(wr * col_m[j], axis=0)  # [P]
+                out_ref[0, lvl * w1 * w1 + i * w1 + j, :] = tap.astype(
+                    jnp.float32
+                )
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+def _bwd_kernel(coords_ref, f0_ref, f1_ref, g_ref, df0_ref, df1_ref, *,
+                levels: CorrLevels, radius: int, scale: float):
+    # g_ref [1, L*w1*w1, P] f32 -> df0_ref [1, P, C] f32;
+    # df1_ref [1, M, C] f32 accumulated over the pixel-tile grid dim
+    w1 = 2 * radius + 2
+    f0 = f0_ref[0]
+    f1 = f1_ref[0]
+    p = f0.shape[0]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        df1_ref[0] = jnp.zeros_like(df1_ref[0])
+
+    r_full = coords_ref[0, 0, :]
+    c_full = coords_ref[0, 1, :]
+    # d_corrT: scatter each tap's cotangent back to its (row, col) cell —
+    # taps hit distinct cells, so the masked adds are exact
+    dparts = []
+    for lvl, (hk, wk) in enumerate(levels.shapes):
+        r0 = jnp.floor(r_full / (2.0 ** lvl)).astype(jnp.int32)
+        c0 = jnp.floor(c_full / (2.0 ** lvl)).astype(jnp.int32)
+        row_m, col_m = _window_masks(r0, c0, hk, wk, p, radius, jnp.float32)
+        dcorr3 = jnp.zeros((hk, wk, p), jnp.float32)
+        for i in range(w1):
+            # d_wr[i] = sum_j g[i, j] * col_mask_j  -> [wk, P]
+            dwr = jnp.zeros((wk, p), jnp.float32)
+            for j in range(w1):
+                gij = g_ref[0, lvl * w1 * w1 + i * w1 + j, :]  # [P]
+                dwr = dwr + col_m[j] * gij[None, :]
+            dcorr3 = dcorr3 + row_m[i][:, None, :] * dwr[None, :, :]
+        # scale + bf16 cast per level (keeps the concat buffer at bf16)
+        dparts.append(
+            (dcorr3 * scale).astype(jnp.bfloat16).reshape(hk * wk, p)
+        )
+    used = levels.offsets[-1] + levels.shapes[-1][0] * levels.shapes[-1][1]
+    if levels.total > used:
+        dparts.append(jnp.zeros((levels.total - used, p), jnp.bfloat16))
+    dcorrt = jnp.concatenate(dparts, axis=0)
+    # df0[p, c] = sum_m dcorr[m, p] * f1[m, c]
+    df0_ref[0] = jax.lax.dot_general(
+        dcorrt, f1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # df1[m, c] += sum_p dcorr[m, p] * f0[p, c]
+    df1_ref[0] += jax.lax.dot_general(
+        dcorrt, f0, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+def _pad_pixels(x, p_tile, axis):
+    n = x.shape[axis]
+    pad = -(-n // p_tile) * p_tile - n
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _tile_size(hw: int) -> int:
+    for p in (256, 128):
+        if hw % p == 0:
+            return p
+    return min(hw, 128)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_corr_window(f0, f1cat, coords_t, levels: CorrLevels, radius: int):
+    """f0 [B, HW, C] (any float dtype), f1cat [B, M, C] bf16, coords_t
+    [B, 2, HW] f32 (row, col at level-0 resolution). Returns raw unclipped
+    window taps [B, L*(2r+2)^2, HW] f32 — bilinear blending happens in
+    corr_window_features."""
+    return _fused_fwd_impl(f0, f1cat, coords_t, levels, radius)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fused_fwd_impl(f0, f1cat, coords_t, levels, radius, interpret=None):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, hw, c = f0.shape
+    w1 = 2 * radius + 2
+    nl = len(levels.shapes)
+    p_tile = _tile_size(hw)
+    f0p = _pad_pixels(f0.astype(jnp.bfloat16), p_tile, 1)
+    coords_p = _pad_pixels(coords_t, p_tile, 2)
+    hwp = f0p.shape[1]
+    grid = (b, hwp // p_tile)
+    scale = 1.0 / float(c) ** 0.5
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, levels=levels, radius=radius, scale=scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, p_tile), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((1, p_tile, c), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, levels.total, c), lambda bi, ti: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nl * w1 * w1, p_tile), lambda bi, ti: (bi, 0, ti)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nl * w1 * w1, hwp), jnp.float32),
+        interpret=interpret,
+    )(coords_p, f0p, f1cat)
+    return out[..., :hw]
+
+
+def _fused_fwd(f0, f1cat, coords_t, levels, radius):
+    out = _fused_fwd_impl(f0, f1cat, coords_t, levels, radius)
+    return out, (f0, f1cat, coords_t)
+
+
+def _fused_bwd(levels, radius, res, g):
+    f0, f1cat, coords_t = res
+    df0, df1 = _fused_bwd_impl(f0, f1cat, coords_t, g, levels, radius)
+    return df0.astype(f0.dtype), df1.astype(f1cat.dtype), None
+
+
+def _fused_bwd_impl(f0, f1cat, coords_t, g, levels, radius, interpret=None):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, hw, c = f0.shape
+    w1 = 2 * radius + 2
+    nl = len(levels.shapes)
+    # smaller pixel tile than forward: the f32 scatter buffers (dcorr3 +
+    # concatenated dcorrT + df1 block) would exceed VMEM at 256
+    p_tile = min(_tile_size(hw), 128)
+    f0p = _pad_pixels(f0.astype(jnp.bfloat16), p_tile, 1)
+    coords_p = _pad_pixels(coords_t, p_tile, 2)
+    gp = _pad_pixels(g, p_tile, 2)
+    hwp = f0p.shape[1]
+    grid = (b, hwp // p_tile)
+    scale = 1.0 / float(c) ** 0.5
+    df0, df1 = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, levels=levels, radius=radius, scale=scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, p_tile), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((1, p_tile, c), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, levels.total, c), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((1, nl * w1 * w1, p_tile), lambda bi, ti: (bi, 0, ti)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, p_tile, c), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, levels.total, c), lambda bi, ti: (bi, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hwp, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, levels.total, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(coords_p, f0p, f1cat, gp)
+    return df0[:, :hw], df1
+
+
+fused_corr_window.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+def corr_window_features(
+    f0_flat: jnp.ndarray,  # [B, HW, C]
+    f1cat: jnp.ndarray,  # [B, M, C] bf16 (pool_f1_levels)
+    coords: jnp.ndarray,  # [B, H, W, 2] (row, col), level-0 resolution
+    levels: CorrLevels,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Drop-in equivalent of lookup_prepared_mm on a never-materialized
+    volume: [B, H, W, L*(2r+1)^2] f32, reference tap ordering. Bilinear
+    fractions are applied OUTSIDE the kernel so coords keep their
+    grid_sample-style gradient; the raw taps are piecewise-constant in
+    coords (zero gradient), matching the mm path."""
+    b, h, w, _ = coords.shape
+    hw = h * w
+    win = 2 * radius + 1
+    w1 = win + 1
+    coords_t = coords.reshape(b, hw, 2).transpose(0, 2, 1)
+    taps = fused_corr_window(
+        f0_flat, f1cat, coords_t, levels, radius
+    )  # [B, L*w1*w1, HW]
+    outs = []
+    for lvl in range(len(levels.shapes)):
+        centers = coords.reshape(b, hw, 2) / (2.0 ** lvl)
+        frac = centers - jnp.floor(centers)
+        fr = frac[..., 0].reshape(b, 1, 1, hw)
+        fc = frac[..., 1].reshape(b, 1, 1, hw)
+        wnd = taps[:, lvl * w1 * w1 : (lvl + 1) * w1 * w1, :].reshape(
+            b, w1, w1, hw
+        )
+        s = (
+            wnd[:, :win, :win] * (1 - fr) * (1 - fc)
+            + wnd[:, :win, 1:] * (1 - fr) * fc
+            + wnd[:, 1:, :win] * fr * (1 - fc)
+            + wnd[:, 1:, 1:] * fr * fc
+        )
+        # reference tap ordering: column offset on the first window axis
+        # (see models/raft.lookup_corr)
+        s = jnp.swapaxes(s, 1, 2).reshape(b, win * win, hw)
+        outs.append(s)
+    out = jnp.concatenate(outs, axis=1)  # [B, L*49, HW]
+    return out.transpose(0, 2, 1).reshape(b, h, w, -1)

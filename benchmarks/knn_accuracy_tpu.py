@@ -27,7 +27,9 @@ def main():
 
     from liso_tpu.ops.knn_pallas import nn_1_sorted
 
-    interpret = jax.default_backend() != "tpu"  # CPU smoke: interpret mode
+    # CPU smoke: interpret mode (device platform, not backend name — the
+    # axon plugin registers platform "tpu" under backend name "axon")
+    interpret = not any(d.platform == "tpu" for d in jax.devices())
 
     b, n = args.batch, args.n
 

@@ -120,6 +120,10 @@ class DataCfg(NamedTuple):
     use_skip_frames: str = "both"  # only | never | both
     time_delta_s: float = 0.1
     ground_cone_z_threshold_m: float = -1.70
+    # lazy ground fallback when no is_ground_* label is stored: "cone"
+    # (z-threshold) or "jcp" (full JCP segmentation, the reference's lazy
+    # Waymo path, waymo_torch_dataset.py:295-335)
+    ground_label_source: str = "cone"
     flow_source: str = "gt"  # gt | slim path
     odom_source: str = "gt"  # gt | kiss_icp
     mined_confidence_threshold: float = 0.0
@@ -144,6 +148,11 @@ class LidarDataset:
         self.mined_boxes_db = mined_boxes_db
         self.augmentation = augmentation
         self.rng = np.random.RandomState(seed)
+        # per-sample memo for lazily computed odometry / ground labels
+        # (the reference caches its on-the-fly KISS-ICP poses + JCP labels
+        # next to the data, waymo_torch_dataset.py:295-335; here they are
+        # memoized in-process)
+        self._lazy_cache: Dict[tuple, np.ndarray] = {}
 
     def __len__(self):
         return len(self.sample_files)
@@ -184,22 +193,52 @@ class LidarDataset:
         if rev in content:
             return np.linalg.inv(np.asarray(content[rev], np.float64))
         # compose via t0: a_T_b = inv(t0_T_a) @ t0_T_b
-        t0_a = (
-            np.eye(4)
-            if a == "t0"
-            else np.asarray(content[f"{prefix}_t0_{a}"], np.float64)
+        t0_a = content.get(f"{prefix}_t0_{a}")
+        t0_b = content.get(f"{prefix}_t0_{b}")
+        if a == "t0":
+            t0_a = np.eye(4)
+        if b == "t0":
+            t0_b = np.eye(4)
+        if t0_a is None or t0_b is None:
+            return self._lazy_icp_odom(content, a, b)
+        return np.linalg.inv(np.asarray(t0_a, np.float64)) @ np.asarray(
+            t0_b, np.float64
         )
-        t0_b = (
-            np.eye(4)
-            if b == "t0"
-            else np.asarray(content[f"{prefix}_t0_{b}"], np.float64)
-        )
-        return np.linalg.inv(t0_a) @ t0_b
+
+    def _lazy_icp_odom(self, content: dict, a: str, b: str) -> np.ndarray:
+        """On-the-fly KISS-ICP-style ego-motion when the ETL stored no
+        poses — the reference's lazy Waymo path
+        (waymo_torch_dataset.py:295-335 runs kiss-icp per sequence and
+        caches). Registers scan b onto scan a (native voxel-hash ICP,
+        native/icp.cpp) and memoizes per (sample, pair)."""
+        ck = (content.get("name", id(content)), "odom", a, b)
+        if ck not in self._lazy_cache:
+            from liso_tpu.data.icp import icp_register, voxel_downsample
+
+            src = voxel_downsample(
+                np.asarray(content[f"pcl_{b}"], np.float64)[:, :3], 1.0
+            )
+            tgt = voxel_downsample(
+                np.asarray(content[f"pcl_{a}"], np.float64)[:, :3], 1.0
+            )
+            self._lazy_cache[ck] = icp_register(
+                src, tgt, np.eye(4), voxel=1.0, max_corr_dist=1.5
+            )
+        return self._lazy_cache[ck]
 
     def _ground_mask(self, content: dict, tk: str, pcl: np.ndarray):
         key = f"is_ground_{tk}"
         if key in content and content[key] is not None:
             return np.asarray(content[key], bool)
+        if self.cfg.ground_label_source == "jcp":
+            # reference lazy path: full JCP segmentation computed on first
+            # access (waymo_torch_dataset.py:295-335), memoized
+            ck = (content.get("name", id(content)), "ground", tk)
+            if ck not in self._lazy_cache:
+                from liso_tpu.data.ground import jpc_ground_remove
+
+                self._lazy_cache[ck] = jpc_ground_remove(pcl)
+            return self._lazy_cache[ck]
         return infer_ground_label_using_cone(
             pcl, self.cfg.ground_cone_z_threshold_m
         )

@@ -5,10 +5,13 @@ mmdet3d's PointRCNN: PointNet++ backbone -> per-point foreground
 segmentation + proposal regression -> canonical ROI refinement; marked
 experimental in the reference). TPU-first redesign:
 
-  * stage 1 keeps the per-point prediction structure but sources point
-    features from the dense BEV backbone (gather at pillar cells + local
-    point MLP) instead of PointNet++ ball-query/grouping — fixed shapes,
-    no neighborhood gathers;
+  * stage 1 keeps the per-point prediction structure and consumes
+    point-LOCAL geometry like the reference's PointNet++: two
+    set-abstraction groupings over a grid-hashed fixed-K ball query
+    (ops/ball_query.py — sorted cell hash, static shapes, k nearest
+    in-radius neighbors -> shared MLP -> masked max), concatenated with
+    features gathered from the dense BEV backbone (which supplies the
+    global context the reference gets from its SA/FP hierarchy);
   * top-K proposals by foreground score (replaces NMS-based proposal
     filtering at this stage);
   * stage 2 is the canonical refinement: points inside each (bloated)
@@ -25,8 +28,46 @@ from flax import linen as nn
 
 from liso_tpu.models.centerpoint import RPN, ConvBNRelu
 from liso_tpu.models.pillar_encoder import PillarEncoder
+from liso_tpu.ops.ball_query import grid_ball_query
 from liso_tpu.ops.bev import BevSetup, point_cell_ids
 from liso_tpu.ops.boxes import Boxes
+
+
+class SetAbstraction(nn.Module):
+    """One PointNet++-style grouping layer: fixed-K ball query around every
+    point, relative-coordinate + feature MLP, masked max-pool. Mirrors the
+    reference backbone's SA semantics (mmdet3d PointNetSAMSG consumed via
+    point_rcnn.py:28) with static shapes."""
+
+    bev: BevSetup
+    radius: float
+    k: int = 16
+    out_dim: int = 64
+
+    @nn.compact
+    def __call__(self, points, valid, feats=None):
+        def query(p, v):
+            return grid_ball_query(
+                p[:, :3], v, radius=self.radius, k=self.k,
+                bev_range_m=tuple(float(r) for r in self.bev.bev_range_m),
+            )
+
+        idx, mask = jax.vmap(query)(points, valid)  # [B, N, K]
+
+        def gather(arr, i):
+            return arr[i]
+
+        nb_xyz = jax.vmap(gather)(points[..., :3], idx)  # [B, N, K, 3]
+        rel = nb_xyz - points[..., None, :3]
+        parts = [rel, jax.vmap(gather)(points[..., 3:4], idx)]
+        if feats is not None:
+            parts.append(jax.vmap(gather)(feats, idx))
+        h = jnp.concatenate(parts, axis=-1)
+        h = nn.relu(nn.Dense(self.out_dim, name="mlp1")(h))
+        h = nn.relu(nn.Dense(self.out_dim, name="mlp2")(h))
+        h = jnp.where(mask[..., None], h, -jnp.inf)
+        pooled = jnp.max(h, axis=2)
+        return jnp.where(jnp.isfinite(pooled), pooled, 0.0)
 
 
 class PointRCNNCfg(NamedTuple):
@@ -70,7 +111,15 @@ class PointRCNNNet(nn.Module):
         pf = jax.vmap(gather)(feat, points, valid)  # [B, N, 64]
         local = nn.Dense(32, name="pt_mlp1")(points[..., :4])
         local = nn.relu(local)
-        x = jnp.concatenate([pf, local], axis=-1)
+        # PointNet++-style local geometry (two scales, like the reference's
+        # multi-scale grouping): k-nearest in-radius neighbors -> MLP -> max
+        sa1 = SetAbstraction(
+            self.bev, radius=1.0, k=16, out_dim=64, name="sa1"
+        )(points, valid)
+        sa2 = SetAbstraction(
+            self.bev, radius=2.5, k=16, out_dim=64, name="sa2"
+        )(points, valid, feats=sa1)
+        x = jnp.concatenate([pf, local, sa1, sa2], axis=-1)
         x = nn.relu(nn.Dense(128, name="pt_mlp2")(x))
 
         fg_logit = nn.Dense(1, name="fg_head")(x)[..., 0]  # [B, N]

@@ -265,3 +265,51 @@ def test_set_detect_anomaly_wires_jax_debug_nans():
     finally:
         set_detect_anomaly(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_lazy_icp_odom_and_jcp_ground_fallbacks():
+    """Samples stored WITHOUT odometry / ground labels get them computed
+    on the fly (the reference's lazy Waymo path,
+    waymo_torch_dataset.py:295-335: kiss-icp ego-motion + JCP ground) and
+    memoized."""
+    import numpy as np
+
+    from liso_tpu.data.dataset import DataCfg, LidarDataset
+    from liso_tpu.data.synthetic import SyntheticSequence
+    from liso_tpu.ops.bev import BevSetup
+
+    seq = SyntheticSequence(n_frames=4, n_bg=4000, n_objects=0,
+                            ego_speed=0.8)
+
+    class Bare(LidarDataset):
+        def __init__(self, cfg):
+            super().__init__(cfg, sample_files=["s0"])
+
+        def load_sample_dict(self, idx):
+            c = seq.sample_dict(idx)
+            # strip everything the ETL would precompute
+            return {
+                k: v for k, v in c.items()
+                if not k.startswith(("odom_", "kiss_odom_", "is_ground_"))
+            }
+
+    cfg = DataCfg(
+        bev=BevSetup((40.0, 40.0), (64, 64)), n_max=4096, m_max=8192,
+        ground_label_source="jcp", use_skip_frames="never",
+    )
+    ds = Bare(cfg)
+    content = ds.load_sample_dict(0)
+    odom = ds._odom(content, "t0", "t1")
+    true_odom = np.asarray(seq.sample_dict(0)["odom_t0_t1"])
+    # pure x-translation ego motion; ICP must recover it to ~cm
+    np.testing.assert_allclose(odom[:3, 3], true_odom[:3, 3], atol=0.15)
+    np.testing.assert_allclose(odom[:3, :3], true_odom[:3, :3], atol=0.02)
+    assert any(k[1] == "odom" for k in ds._lazy_cache)
+    # jcp ground fallback: most true ground points labeled, sample builds
+    pcl = np.asarray(content["pcl_t0"], np.float32)
+    g = ds._ground_mask(content, "t0", pcl)
+    true_g = pcl[:, 2] < -1.55
+    recall = (g & true_g).sum() / max(true_g.sum(), 1)
+    assert recall > 0.7, recall
+    sample = ds[0]
+    assert np.isfinite(sample.frame_t0.pcl).all()

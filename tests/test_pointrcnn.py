@@ -98,3 +98,48 @@ def test_pointrcnn_trainer_step_and_predict():
     pred = trainer.predict_step(state, points, valid)
     assert np.asarray(pred.valid).any()
     assert np.isfinite(np.asarray(pred.pos)).all()
+
+
+def test_grid_ball_query_matches_brute_force():
+    """The k in-radius neighbors (nearest-first) must match an O(N^2)
+    reference, including invalid queries/candidates and off-grid points."""
+    from liso_tpu.ops.ball_query import grid_ball_query
+
+    rng = np.random.RandomState(0)
+    n, r, k = 600, 1.5, 8
+    pts = rng.uniform(-18, 18, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2, 0, n)
+    valid = rng.rand(n) > 0.2
+    idx, mask = grid_ball_query(
+        jnp.asarray(pts), jnp.asarray(valid), radius=r, k=k,
+        bev_range_m=(40.0, 40.0), cap=32,
+    )
+    idx, mask = np.asarray(idx), np.asarray(mask)
+    for i in range(n):
+        if not valid[i]:
+            assert not mask[i].any()
+            continue
+        d = np.linalg.norm(pts - pts[i], axis=1)
+        cand = np.where((d <= r) & valid)[0]
+        want = np.sort(d[cand[np.argsort(d[cand])][:k]])
+        got = np.sort(d[idx[i][mask[i]]])
+        # ties at the k-th distance may swap members; distances must agree
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_set_abstraction_permutation_invariant():
+    """Masked max over the grouped neighbors must not depend on the
+    neighbor order (PointNet invariance)."""
+    from liso_tpu.models.pointrcnn import SetAbstraction
+
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(-10, 10, (1, 256, 4)).astype(np.float32)
+    valid = jnp.ones((1, 256), bool)
+    sa = SetAbstraction(BEV, radius=2.0, k=8, out_dim=16)
+    vars_ = sa.init(jax.random.PRNGKey(0), jnp.asarray(pts), valid)
+    out1 = sa.apply(vars_, jnp.asarray(pts), valid)
+    perm = rng.permutation(256)
+    out2 = sa.apply(vars_, jnp.asarray(pts[:, perm]), valid)
+    np.testing.assert_allclose(
+        np.asarray(out1)[0, perm], np.asarray(out2)[0], atol=2e-5
+    )

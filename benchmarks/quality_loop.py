@@ -98,12 +98,12 @@ def main():
         loader = Prefetcher(eval_ds, batch_size=1, shuffle=False,
                             num_workers=0)
         m = run_val(iter(loader), predict)
-        pre = "final_result/NUSC_OFFICIAL/detection_metrics/"
+        pre = "final_result/NUSC_OFFICIAL/detection_metrics/nusc/"
         return {
             "AP@2m": float(m.get(f"{pre}AP_movable_overall_dist@2.0", 0.0)),
-            "mAP": float(m.get(f"{pre}nusc/mAP", 0.0)),
-            "ATE": float(m.get(f"{pre}nusc/mATE", 0.0)),
-            "AOE": float(m.get(f"{pre}nusc/mAOE", 0.0)),
+            "mAP": float(m.get(f"{pre}mAP", 0.0)),
+            "ATE": float(m.get(f"{pre}mATE", 0.0)),
+            "AOE": float(m.get(f"{pre}mAOE", 0.0)),
         }
 
     rows = []

@@ -49,23 +49,40 @@ def frames_from_dataset(dataset: LidarDataset, idxs: List[int]) -> List[Frame]:
     # flow/odometry consistency along the mined sequence.
     saved_augm = dataset.augmentation
     dataset.augmentation = None
+    # fixed capacity: every frame pads to n_max so the jitted per-frame
+    # mining programs (_mine_frame_device, the bootstrap flow-cluster
+    # detect) compile ONCE — variable-length clouds recompile per frame,
+    # which costs ~40 s/frame through the TPU tunnel
+    n_max = int(dataset.cfg.n_max)
     try:
         for i in idxs:
             s = dataset.get_pair(i, "t0", "t1")
             v = s.frame_t0.valid
+            pcl, pvalid = pad_to(s.frame_t0.pcl[v], n_max)
+            flow, _ = pad_to(s.flow_t0_t1[v], n_max)
+            rows, _ = pad_to(s.frame_t0.rows[v], n_max)
             frames.append(
                 Frame(
                     sample_id=s.sample_id,
-                    pcl=s.frame_t0.pcl[v],
-                    valid=np.ones(int(v.sum()), bool),
-                    flow=s.flow_t0_t1[v],
+                    pcl=pcl,
+                    valid=pvalid,
+                    flow=flow,
                     odom_ta_tb=np.asarray(s.odom_t0_t1, np.float64),
-                    lidar_rows=s.frame_t0.rows[v],
+                    lidar_rows=rows,
                 )
             )
     finally:
         dataset.augmentation = saved_augm
     return frames
+
+
+def _pad_frame_points(frame: Frame, n_max: int):
+    """Pad a mining Frame's cloud to n_max, preserving its own validity
+    mask (frames_from_dataset already pads — padding rows must stay
+    invalid; manually built Frames may be compact)."""
+    pts, fresh = pad_to(frame.pcl, n_max)
+    vals, _ = pad_to(frame.valid, n_max)
+    return pts, vals.astype(bool) & fresh
 
 
 def _to_plain(cfg_node):
@@ -216,14 +233,22 @@ class LisoSelfTraining:
             k_max=int(self.cfg.data.tracking_cfg.max_num_boxes_after_nms),
         )
 
-        def detect(frame: Frame) -> Boxes:
-            pcl = jnp.asarray(frame.pcl)
-            valid = jnp.asarray(frame.valid)
+        # one jitted program per frame (point_cell_ids ran eagerly before:
+        # each eager op is a separate ~30 ms RPC through the TPU tunnel)
+        @jax.jit
+        def _detect_jit(pcl, valid, flow, odom, td):
             cell, _, _ = point_cell_ids(pcl[:, :2], bev, valid)
             return detect_boxes_from_flow(
-                pcl, valid, cell, jnp.asarray(frame.flow),
-                jnp.asarray(frame.odom_ta_tb, jnp.float32), pcl, valid,
-                jnp.asarray(self.data_cfg.time_delta_s), bev, fc_cfg,
+                pcl, valid, cell, flow, odom, pcl, valid, td, bev, fc_cfg
+            )
+
+        def detect(frame: Frame) -> Boxes:
+            return _detect_jit(
+                jnp.asarray(frame.pcl),
+                jnp.asarray(frame.valid),
+                jnp.asarray(frame.flow),
+                jnp.asarray(frame.odom_ta_tb, jnp.float32),
+                jnp.asarray(self.data_cfg.time_delta_s),
             )
 
         return detect
@@ -233,7 +258,7 @@ class LisoSelfTraining:
         n_max = self.data_cfg.n_max
 
         def detect(frame: Frame) -> Boxes:
-            pts, valid = pad_to(frame.pcl, n_max)
+            pts, valid = _pad_frame_points(frame, n_max)
             boxes = trainer.predict_step(
                 state, jnp.asarray(pts)[None], jnp.asarray(valid)[None]
             )
@@ -258,7 +283,7 @@ class LisoSelfTraining:
                 n_real = len(chunk)
                 while len(chunk) < batch_size:  # pad to the compiled shape
                     chunk = list(chunk) + [chunk[-1]]
-                padded = [pad_to(f.pcl, n_max) for f in chunk]
+                padded = [_pad_frame_points(f, n_max) for f in chunk]
                 pts = jnp.asarray(np.stack([p for p, _ in padded]))
                 valid = jnp.asarray(np.stack([v for _, v in padded]))
                 boxes = trainer.predict_step(state, pts, valid)

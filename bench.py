@@ -72,46 +72,71 @@ def main():
             slim_vars, pts, vld, method=_SM.encode_frame
         )
 
+    from liso_tpu.models.pillar_encoder import prepare_pillar_inputs
+
     def fused_streaming(fmap_prev, cn_prev, pts, vld):
         """One streaming step: encode the NEW frame once, flow from the
-        cached previous-frame features, detect on the new frame."""
-        fmap, cn, _ = encode(pts, vld)
+        cached previous-frame features, detect on the new frame. The
+        parameter-free pillar prep (cell sort, cluster means, feature
+        assembly) is computed ONCE and shared by the SLIM and detector
+        encoders."""
+        prepared = prepare_pillar_inputs(pts, vld, bev)
+        fmap, cn, _ = slim.apply(
+            slim_vars, pts, vld, method=_SM.encode_frame, prepared=prepared
+        )
         out = slim.apply(
             slim_vars, fmap_prev, cn_prev, fmap,
             method=_SM.flow_from_features,
         )
-        boxes, _, _, _ = det.apply(det_vars, pts, vld)
+        boxes, _, _, _ = det.apply(det_vars, pts, vld, prepared=prepared)
         return fmap, cn, out[-1][..., 4:6], boxes.pos, boxes.probs
 
     # all iterations inside ONE jit with a serialising data dependency:
     # per-dispatch timing through the TPU tunnel is unreliable in both
-    # directions (async queueing hides work; each dispatch adds RPC
-    # latency), so measure n chained steps in a single executable
-    iters = 20 if on_tpu else 2
+    # directions (async queueing hides work; block_until_ready can even
+    # return EARLY for shallow queues — see benchmarks/_timing.py). The
+    # per-step cost is therefore the SLOPE between a low and a high
+    # iteration count, each forced to true completion by materializing a
+    # tiny output slice on the host.
+    iters_lo, iters_hi = (6, 26) if on_tpu else (1, 3)
 
-    @jax.jit
-    def run(pts0, valid0, pts1, valid1):
-        fmap0, cn0, _ = encode(pts0, valid0)
+    def make_run(iters):
+        @jax.jit
+        def run(pts0, valid0, pts1, valid1):
+            fmap0, cn0, _ = encode(pts0, valid0)
 
-        def body(_, carry):
-            fmap_prev, cn_prev, x = carry
-            fmap, cn, flow, pos, probs = fused_streaming(
-                fmap_prev, cn_prev, x, valid1
+            def body(_, carry):
+                fmap_prev, cn_prev, x = carry
+                fmap, cn, flow, pos, probs = fused_streaming(
+                    fmap_prev, cn_prev, x, valid1
+                )
+                x_next = pts1 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
+                return fmap, cn, x_next
+
+            _, _, x = jax.lax.fori_loop(
+                0, iters, body, (fmap0, cn0, pts1)
             )
-            x_next = pts1 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
-            return fmap, cn, x_next
+            return x
 
-        _, _, x = jax.lax.fori_loop(0, iters, body, (fmap0, cn0, pts1))
-        return x
+        return run
 
-    def timed():
-        jax.block_until_ready(run(pts0, valid, pts1, valid))  # compile
+    def timed(run):
+        out = run(pts0, valid, pts1, valid)  # compile + warm
+        jax.block_until_ready(out)
+        np.asarray(out[0, 0])  # force true completion through the tunnel
         t0 = time.perf_counter()
-        jax.block_until_ready(run(pts0, valid, pts1, valid))
+        out = run(pts0, valid, pts1, valid)
+        jax.block_until_ready(out)
+        np.asarray(out[0, 0])
         return time.perf_counter() - t0
 
+    def step_time():
+        t_lo = timed(make_run(iters_lo))
+        t_hi = timed(make_run(iters_hi))
+        return (t_hi - t_lo) / (iters_hi - iters_lo)
+
     try:
-        dt = timed()
+        dt = step_time()
     except Exception as e:  # pragma: no cover - chip-side failure path
         # fall back to the XLA gather lookup so the bench always lands a
         # number even if the MXU one-hot path miscompiles on this chip
@@ -122,9 +147,9 @@ def main():
               "LISO_DISABLE_PALLAS_LOOKUP=1", file=sys.stderr)
         os.environ["LISO_DISABLE_PALLAS_LOOKUP"] = "1"
         jax.clear_caches()
-        dt = timed()
+        dt = step_time()
 
-    fps = batch * iters / dt
+    fps = batch / dt
     print(
         json.dumps(
             {

@@ -38,6 +38,7 @@ class BoxLearner(nn.Module):
         valid: jnp.ndarray,
         gt_boxes: Optional[Boxes] = None,
         train: bool = False,
+        prepared=None,  # shared pillar prep (prepare_pillar_inputs)
     ) -> Tuple[Boxes, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Any]:
         if self.network == "echo_gt":
             # debug network returning ground truth (simple_net.py:78-82)
@@ -72,7 +73,7 @@ class BoxLearner(nn.Module):
             aux["layer_maps"] = tf_aux["layer_maps"]
             aux["query_heatmap_score"] = tf_aux["query_heatmap_score"]
         else:
-            raw_maps, occ = net(points, valid, train=train)
+            raw_maps, occ = net(points, valid, train=train, prepared=prepared)
         aux["occupancy"] = occ
         activated = apply_activations(raw_maps, self.box_cfg)
         decoded = decode_box_maps(activated, self.box_cfg, self.bev)

@@ -162,10 +162,10 @@ class CenterPointNet(nn.Module):
         return 4 if self.use_baseline_parameters else 8
 
     @nn.compact
-    def __call__(self, points, valid, train: bool = False):
+    def __call__(self, points, valid, train: bool = False, prepared=None):
         img, occ = PillarEncoder(
             self.bev, num_channels=self.hid_dim, name="pfn"
-        )(points, valid, train=train)
+        )(points, valid, train=train, prepared=prepared)
         if self.use_baseline_parameters:
             rpn = RPN(dtype=self.dtype, name="rpn")
             head_stride = 1

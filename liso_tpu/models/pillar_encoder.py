@@ -65,12 +65,71 @@ class MaskedBatchNorm(nn.Module):
         return y * scale + bias
 
 
+def prepare_pillar_inputs(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    bev: BevSetup,
+    z_cutoff: float = 5.0,
+):
+    """Pure (parameter-free) pillar input prep shared by every pillar
+    encoder consuming the same cloud: cell-id assignment, the cell sort,
+    per-point cluster means and center offsets, feature assembly.
+
+    Returns (feats [B, N, F+5], cell_s [B, N], in_pillar_s [B, N]) with
+    points SORTED by cell id. SLIM and the detector each run their own
+    learned PFN (Dense/BN) on top, but this input stage is identical —
+    the fused streaming step computes it once and passes it to both
+    (the reference runs mmcv Voxelization per network; here the prep is
+    ~half the encoder cost, see benchmarks/pillar_breakdown.py).
+    """
+    h, w = bev.grid_size
+
+    cell_id, in_pillar = jax.vmap(
+        lambda pts, msk: pillarize(pts, msk, bev, z_cutoff=z_cutoff)
+    )(points, valid)
+
+    # sort points by cell once so every segment reduction can use
+    # sorted order (one multi-operand lax.sort carries the payload
+    # columns with the keys — ~1.6x faster than argsort + gathers)
+    f = points.shape[-1]
+    sorted_ops = jax.lax.sort(
+        [cell_id]
+        + [points[..., i] for i in range(f)]
+        + [in_pillar.astype(jnp.float32)],
+        dimension=-1,
+        num_keys=1,
+    )
+    cell_s = sorted_ops[0]
+    pts_s = jnp.stack(sorted_ops[1 : 1 + f], axis=-1)
+    in_pillar_s = sorted_ops[1 + f] > 0.5
+
+    # per-point cluster means via segmented scans (no grid round
+    # trip: XLA scatter/gather serialize on TPU, see
+    # grid_scatter_pallas.py / ops/scatter.sorted_segment_totals)
+    xyz1 = jnp.concatenate(
+        [pts_s[..., :3], jnp.ones_like(pts_s[..., :1])], axis=-1
+    )
+    totals = scatter.sorted_segment_totals(xyz1, cell_s)
+    mean_at_pts = totals[..., :3] / jnp.maximum(totals[..., 3:], 1e-8)
+    cluster_off = pts_s[..., :3] - mean_at_pts
+
+    res = jnp.asarray(bev.res_m, points.dtype)
+    emin = jnp.asarray(bev.extent_min, points.dtype)
+    rc = jnp.stack([cell_s // w, cell_s % w], axis=-1).astype(points.dtype)
+    center_off = pts_s[..., :2] - ((rc + 0.5) * res + emin)
+    feats = jnp.concatenate([pts_s, cluster_off, center_off], axis=-1)
+    feats = jnp.where(in_pillar_s[..., None], feats, 0.0)
+    return feats, cell_s, in_pillar_s
+
+
 class PillarEncoder(nn.Module):
     """points [B, N, F] + valid [B, N] -> (bev image [B, H, W, C],
     occupancy [B, H, W, 1]).
 
     One PFN layer (linear -> masked BN -> ReLU -> per-pillar max) like the
-    reference's 64-channel config (pcl_to_feature_grid.py:40-47).
+    reference's 64-channel config (pcl_to_feature_grid.py:40-47). Pass
+    `prepared` (from prepare_pillar_inputs) to skip the shared input prep
+    when several encoders consume the same cloud.
     """
 
     setup_bev: BevSetup
@@ -78,75 +137,28 @@ class PillarEncoder(nn.Module):
     z_cutoff: float = 5.0
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, valid: jnp.ndarray, train: bool = False):
+    def __call__(
+        self,
+        points: jnp.ndarray,
+        valid: jnp.ndarray,
+        train: bool = False,
+        prepared=None,
+    ):
         bev = self.setup_bev
         h, w = bev.grid_size
         nc = bev.num_cells
 
-        def per_sample_ids(pts, msk):
-            return pillarize(pts, msk, bev, z_cutoff=self.z_cutoff)
-
-        cell_id, in_pillar = jax.vmap(per_sample_ids)(points, valid)
-
-        # sort points by cell once so every segment reduction can use
-        # sorted order (one multi-operand lax.sort carries the payload
-        # columns with the keys — ~1.6x faster than argsort + gathers)
-        f = points.shape[-1]
-        sorted_ops = jax.lax.sort(
-            [cell_id]
-            + [points[..., i] for i in range(f)]
-            + [in_pillar.astype(jnp.float32)],
-            dimension=-1,
-            num_keys=1,
-        )
-        cell_s = sorted_ops[0]
-        pts_s = jnp.stack(sorted_ops[1 : 1 + f], axis=-1)
-        in_pillar_s = sorted_ops[1 + f] > 0.5
+        if prepared is None:
+            prepared = prepare_pillar_inputs(
+                points, valid, bev, z_cutoff=self.z_cutoff
+            )
+        feats, cell_s, in_pillar_s = prepared
 
         from liso_tpu.ops.grid_scatter_pallas import (
             grid_reduce, use_pallas_grid_ops,
         )
 
         on_tpu = use_pallas_grid_ops()
-        if on_tpu:
-            # per-point cluster means via segmented scans (no grid round
-            # trip: XLA scatter/gather serialize on TPU, see
-            # grid_scatter_pallas.py / ops/scatter.sorted_segment_totals)
-            xyz1 = jnp.concatenate(
-                [pts_s[..., :3], jnp.ones_like(pts_s[..., :1])], axis=-1
-            )
-            totals = scatter.sorted_segment_totals(xyz1, cell_s)
-            mean_at_pts = totals[..., :3] / jnp.maximum(
-                totals[..., 3:], 1e-8
-            )
-            cluster_off = pts_s[..., :3] - mean_at_pts
-        else:
-
-            def per_sample_stats(pts_i, cid_i, inp_i):
-                xyz = pts_i[..., :3]
-                s = jax.ops.segment_sum(
-                    xyz, cid_i, num_segments=nc + 1, indices_are_sorted=True
-                )
-                cnt = jax.ops.segment_sum(
-                    inp_i.astype(jnp.float32), cid_i, num_segments=nc + 1,
-                    indices_are_sorted=True,
-                )
-                mean = s / jnp.maximum(cnt[:, None], 1e-8)
-                return mean, cnt
-
-            mean_grid, cnt_grid = jax.vmap(per_sample_stats)(
-                pts_s, cell_s, in_pillar_s
-            )
-            cnt_grid = cnt_grid[:, :nc]
-            cluster_off = pts_s[..., :3] - jax.vmap(scatter.gather_grid)(
-                mean_grid[:, :nc], cell_s
-            )
-        res = jnp.asarray(bev.res_m, points.dtype)
-        emin = jnp.asarray(bev.extent_min, points.dtype)
-        rc = jnp.stack([cell_s // w, cell_s % w], axis=-1).astype(points.dtype)
-        center_off = pts_s[..., :2] - ((rc + 0.5) * res + emin)
-        feats = jnp.concatenate([pts_s, cluster_off, center_off], axis=-1)
-        feats = jnp.where(in_pillar_s[..., None], feats, 0.0)
 
         x = nn.Dense(self.num_channels, use_bias=False, name="pfn_linear")(feats)
         x = MaskedBatchNorm(name="pfn_bn")(x, in_pillar_s, train)
@@ -177,6 +189,14 @@ class PillarEncoder(nn.Module):
                 return g.reshape(h, w, self.num_channels)
 
             img = jax.vmap(per_sample_max)(x, cell_s)
+
+        def per_sample_cnt(inp_i, ci):
+            return jax.ops.segment_sum(
+                inp_i.astype(jnp.float32), ci, num_segments=nc + 1,
+                indices_are_sorted=True,
+            )[:nc]
+
+        cnt_grid = jax.vmap(per_sample_cnt)(in_pillar_s, cell_s)
         occ = (cnt_grid > 0).astype(jnp.float32).reshape(-1, h, w, 1)
         return img, occ
 

@@ -239,11 +239,15 @@ class SlimModel(nn.Module):
             dtype=self.compute_dtype,
         )
 
-    def encode_frame(self, pcl, valid, train: bool = False):
+    def encode_frame(self, pcl, valid, train: bool = False, prepared=None):
         """Streaming entry: encode ONE frame once; callers cache the
         returned (fmap, cnet) across steps (apply with
-        method=SlimModel.encode_frame)."""
-        img, occ = self.pillar_encoder(pcl, valid, train=train)
+        method=SlimModel.encode_frame). `prepared` (from
+        pillar_encoder.prepare_pillar_inputs) skips the parameter-free
+        pillar prep when the detector shares the same cloud."""
+        img, occ = self.pillar_encoder(
+            pcl, valid, train=train, prepared=prepared
+        )
         fmap, cn = self.raft.encode(img)
         return fmap, cn, occ[..., 0]
 

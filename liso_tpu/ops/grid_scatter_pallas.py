@@ -46,7 +46,9 @@ _NEG = -3.0e38  # -inf stand-in that survives fp32 matmul masking
 
 
 def _pick_tile(num_cells: int) -> int:
-    t = 4096
+    import os
+
+    t = int(os.environ.get("LISO_GRID_TILE", "4096"))
     while num_cells % t != 0 and t > 8:
         t //= 2
     return t

@@ -114,3 +114,28 @@ def test_echo_gt_network():
     pts = jnp.zeros((1, 8, 4))
     out, _, _, _ = model.apply({}, pts, jnp.ones((1, 8), bool), gt_boxes=target)
     assert np.allclose(np.asarray(out.pos), np.asarray(target.pos))
+
+
+def test_shared_pillar_prep_matches_unshared():
+    """BoxLearner with a caller-provided prepare_pillar_inputs result is
+    identical to the self-contained path (the fused streaming step shares
+    one prep between the SLIM and detector encoders)."""
+    from liso_tpu.models.box_learner import BoxLearner
+    from liso_tpu.models.pillar_encoder import prepare_pillar_inputs
+
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.uniform(-18, 18, (2, 256, 4)).astype(np.float32))
+    valid = jnp.asarray(rng.rand(2, 256) > 0.1)
+
+    det = BoxLearner(BEV, network="centerpoint")
+    vars_ = det.init(jax.random.PRNGKey(0), pts, valid)
+
+    boxes_a, dec_a, _, aux_a = det.apply(vars_, pts, valid)
+    prepared = prepare_pillar_inputs(pts, valid, BEV)
+    boxes_b, dec_b, _, aux_b = det.apply(vars_, pts, valid, prepared=prepared)
+
+    np.testing.assert_array_equal(np.asarray(boxes_a.pos), np.asarray(boxes_b.pos))
+    np.testing.assert_array_equal(np.asarray(boxes_a.probs), np.asarray(boxes_b.probs))
+    np.testing.assert_array_equal(
+        np.asarray(aux_a["occupancy"]), np.asarray(aux_b["occupancy"])
+    )

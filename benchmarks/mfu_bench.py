@@ -28,13 +28,33 @@ def _cost(compiled):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def _time_chained(fn, args, iters):
+def _timed_once(fn, args):
     import jax
 
-    jax.block_until_ready(fn(*args))  # compile+warm
+    out = fn(*args)
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[:1])  # force true completion (tunnel)
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / iters
+    out = fn(*args)
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+    return time.perf_counter() - t0
+
+
+def _slope_compiled(make_run, args, lo, hi):
+    """(per-iter seconds, flops/iter, bytes/iter) via the slope between a
+    lo- and hi-iteration chained run (tunnel-safe: block_until_ready alone
+    can return early). Compiles exactly two programs; the hi one also
+    serves the XLA cost analysis."""
+    c_lo = make_run(lo).lower(*args).compile()
+    c_hi = make_run(hi).lower(*args).compile()
+    flops, bytes_ = _cost(c_hi)
+    t_lo = _timed_once(c_lo, args)
+    t_hi = _timed_once(c_hi, args)
+    dt = (t_hi - t_lo) / (hi - lo)
+    return dt, flops / hi, bytes_ / hi
 
 
 def bench_fused_forward(grid, n_pts, batch, iters, on_tpu):
@@ -70,25 +90,31 @@ def bench_fused_forward(grid, n_pts, batch, iters, on_tpu):
         boxes, _, _, _ = det.apply(det_vars, pts, vld)
         return fmap, cn, out[-1][..., 4:6], boxes.pos, boxes.probs
 
-    @jax.jit
-    def run(pts0, valid0, pts1, valid1):
-        fmap0, cn0, _ = slim.apply(
-            slim_vars, pts0, valid0, method=SM.encode_frame
-        )
+    def make_run(iters):
+        @jax.jit
+        def run(pts0, valid0, pts1, valid1):
+            fmap0, cn0, _ = slim.apply(
+                slim_vars, pts0, valid0, method=SM.encode_frame
+            )
 
-        def body(_, carry):
-            fmap_prev, cn_prev, x = carry
-            fmap, cn, flow, pos, probs = step(fmap_prev, cn_prev, x, valid1)
-            x_next = pts1 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
-            return fmap, cn, x_next
+            def body(_, carry):
+                fmap_prev, cn_prev, x = carry
+                fmap, cn, flow, pos, probs = step(
+                    fmap_prev, cn_prev, x, valid1
+                )
+                x_next = pts1 + 0.0 * (flow.sum() + pos.sum() + probs.sum())
+                return fmap, cn, x_next
 
-        _, _, x = jax.lax.fori_loop(0, iters, body, (fmap0, cn0, pts1))
-        return x
+            _, _, x = jax.lax.fori_loop(0, iters, body, (fmap0, cn0, pts1))
+            return x
 
-    compiled = run.lower(pts0, valid, pts1, valid).compile()
-    flops, bytes_ = _cost(compiled)
-    dt = _time_chained(run, (pts0, valid, pts1, valid), iters)
-    return flops / iters, bytes_ / iters, dt
+        return run
+
+    lo, hi = iters
+    dt, flops, bytes_ = _slope_compiled(
+        make_run, (pts0, valid, pts1, valid), lo, hi
+    )
+    return flops, bytes_, dt
 
 
 def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
@@ -117,18 +143,20 @@ def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
     sample = FlowSample(pcl_t0=mk(), pcl_t1=mk(), odom_t0_t1=eye, odom_t1_t0=eye)
     state = trainer.init_state(jax.random.PRNGKey(0), sample)
 
-    @jax.jit
-    def run(state, sample):
-        def body(_, st):
-            st, _ = trainer.train_step(st, sample)
-            return st
+    def make_run(iters):
+        @jax.jit
+        def run(state, sample):
+            def body(_, st):
+                st, _ = trainer.train_step(st, sample)
+                return st
 
-        return jax.lax.fori_loop(0, iters, body, state)
+            return jax.lax.fori_loop(0, iters, body, state)
 
-    compiled = run.lower(state, sample).compile()
-    flops, bytes_ = _cost(compiled)
-    dt = _time_chained(run, (state, sample), iters)
-    return flops / iters, bytes_ / iters, dt
+        return run
+
+    lo, hi = iters
+    dt, flops, bytes_ = _slope_compiled(make_run, (state, sample), lo, hi)
+    return flops, bytes_, dt
 
 
 def main():
@@ -139,25 +167,31 @@ def main():
                     help="HBM peak GB/s (v5e spec 819)")
     ap.add_argument("--grid", type=int, default=0)
     ap.add_argument("--iters", type=int, default=0)
+    ap.add_argument("--only", type=str, default="",
+                    help="'fwd' or 'train' to run one workload")
     args = ap.parse_args()
 
     import jax
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
-        grid, n_pts, fb, tb, iters = 512, 32768, 8, 2, 10
+        grid, n_pts, fb, tb, iters = 512, 32768, 8, 2, (6, 26)
     else:
-        grid, n_pts, fb, tb, iters = 128, 4096, 1, 1, 2
+        grid, n_pts, fb, tb, iters = 128, 4096, 1, 1, (1, 3)
     if args.grid:
         grid = args.grid
     if args.iters:
-        iters = args.iters
+        iters = (max(1, args.iters // 4), args.iters)
 
     rows = []
-    f, b, dt = bench_fused_forward(grid, n_pts, fb, iters, on_tpu)
-    rows.append(("fused fwd (flow+detect)", fb, f, b, dt))
-    f, b, dt = bench_slim_train(grid, n_pts, tb, iters, on_tpu)
-    rows.append(("slim train step (fwd+bwd)", tb, f, b, dt))
+    if args.only in ("", "fwd"):
+        f, b, dt = bench_fused_forward(grid, n_pts, fb, iters, on_tpu)
+        rows.append(("fused fwd (flow+detect)", fb, f, b, dt))
+    if args.only in ("", "train"):
+        # train steps are ~10x a forward; shorter chains keep compiles sane
+        ti = (max(1, iters[0] // 3), max(2, iters[1] // 3))
+        f, b, dt = bench_slim_train(grid, n_pts, tb, ti, on_tpu)
+        rows.append(("slim train step (fwd+bwd)", tb, f, b, dt))
 
     print(
         f"{'workload':<28}{'batch':>6}{'GFLOP':>10}{'GB':>8}{'ms':>9}"

@@ -120,6 +120,40 @@ def _reduce_kernel(starts_ref, cells_ref, feats_ref, out_ref, *, op, tile, prec)
     jax.lax.fori_loop(lo // _K, (hi + _K - 1) // _K, chunk_body, 0)
 
 
+def _reduce_kernel_c1(starts_ref, cells_ref, vals_ref, out_ref, *, tile):
+    """Scatter-add of SCALAR per-point values (C == 1). The generic kernel
+    would lane-pad the [N, 1] feature block 1 -> 128 (128x VMEM + DMA
+    waste; at N = 131k fp32 that alone is 2 x 67 MB and OOMs VMEM), so the
+    values ride the SAME [N/_SUB, _SUB] layout as the cell ids and the
+    reduction is a masked lane-sum instead of a matmul."""
+    ib = pl.program_id(0)
+    it = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    lo = starts_ref[ib * (n_tiles + 1) + it]
+    hi = starts_ref[ib * (n_tiles + 1) + it + 1]
+    base = it * tile
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + base
+
+    def chunk_body(k, _):
+        js = range(_K // _SUB)
+        rows = [cells_ref[0, pl.ds(k * (_K // _SUB) + j, 1), :] for j in js]
+        vrows = [vals_ref[0, pl.ds(k * (_K // _SUB) + j, 1), :] for j in js]
+        placed = jnp.concatenate(
+            [
+                jnp.where(row_t == r, v.astype(jnp.float32), 0.0)
+                for r, v in zip(rows, vrows)
+            ],
+            axis=1,
+        )  # [tile, K] each point's value at its own cell row
+        out_ref[0, :, :] += jnp.sum(placed, axis=1, keepdims=True).astype(
+            out_ref.dtype
+        )
+        return 0
+
+    jax.lax.fori_loop(lo // _K, (hi + _K - 1) // _K, chunk_body, 0)
+
+
 def _gather_kernel(starts_ref, cells_ref, grid_ref, out_ref, *, tile, prec):
     ib = pl.program_id(0)
     it = pl.program_id(1)
@@ -198,6 +232,32 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
         if exact and feats.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    if c == 1 and op == "add":
+        vals2 = feats[..., 0].reshape(b, n // _SUB, _SUB)
+        out = pl.pallas_call(
+            partial(_reduce_kernel_c1, tile=tile),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, n_tiles),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, n // _SUB, _SUB), lambda ib, it, s: (ib, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, n // _SUB, _SUB), lambda ib, it, s: (ib, 0, 0)
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, tile, 1), lambda ib, it, s: (ib, it, 0)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, num_cells, 1), feats.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(starts, cells2, vals2)
+        return out
     out = pl.pallas_call(
         partial(_reduce_kernel, op=op, tile=tile, prec=prec),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -126,6 +126,28 @@ class TestGridScatterPallas:
                 want = jnp.where(jnp.isneginf(want), 0.0, want)
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_reduce_add_scalar_channel_path(self):
+        """C == 1 routes through the lane-packed kernel (_reduce_kernel_c1):
+        the generic block would lane-pad [N, 1] -> [N, 128] and OOM VMEM at
+        the MovAvg histogram's N = 131k (regression: slim train step at
+        512^2 failed to compile). Exactness vs segment_sum, including the
+        int32-max drop bucket and an all-dropped batch row."""
+        from liso_tpu.ops.grid_scatter_pallas import grid_reduce
+
+        rng = np.random.RandomState(7)
+        B, N, NC = 3, 2048, 2048  # N not a _K multiple after the drop rows
+        cells = np.sort(rng.randint(0, NC + 1, (B, N)).astype(np.int32), -1)
+        cells[cells >= NC] = np.iinfo(np.int32).max
+        cells[2, :] = np.iinfo(np.int32).max  # whole sample dropped
+        vals = rng.randn(B, N, 1).astype(np.float32)
+        got = grid_reduce(jnp.asarray(vals), jnp.asarray(cells), NC, "add", True)
+        safe = np.minimum(cells, NC)  # segment_sum wants small ids
+        want = jax.vmap(
+            lambda f, c: jax.ops.segment_sum(f, c, num_segments=NC + 1)
+        )(jnp.asarray(vals), jnp.asarray(safe))[:, :NC]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        assert float(np.abs(np.asarray(got[2])).sum()) == 0.0
+
     def test_gather_and_vjps_match_autodiff(self):
         from liso_tpu.ops.grid_scatter_pallas import grid_gather, grid_reduce
 

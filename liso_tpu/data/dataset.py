@@ -151,8 +151,14 @@ class LidarDataset:
         # per-sample memo for lazily computed odometry / ground labels
         # (the reference caches its on-the-fly KISS-ICP poses + JCP labels
         # next to the data, waymo_torch_dataset.py:295-335; here they are
-        # memoized in-process)
-        self._lazy_cache: Dict[tuple, np.ndarray] = {}
+        # memoized in-process). Keys use the sample's stable name (stamped
+        # from sample_files in _load_content — id(content) can alias after
+        # GC), and the cache is LRU-bounded so long epochs over big
+        # datasets don't grow it without bound.
+        from collections import OrderedDict
+
+        self._lazy_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._lazy_cache_max = 4096
 
     def __len__(self):
         return len(self.sample_files)
@@ -211,7 +217,7 @@ class LidarDataset:
         (waymo_torch_dataset.py:295-335 runs kiss-icp per sequence and
         caches). Registers scan b onto scan a (native voxel-hash ICP,
         native/icp.cpp) and memoizes per (sample, pair)."""
-        ck = (content.get("name", id(content)), "odom", a, b)
+        ck = (self._content_key(content), "odom", a, b)
         if ck not in self._lazy_cache:
             from liso_tpu.data.icp import icp_register, voxel_downsample
 
@@ -221,10 +227,21 @@ class LidarDataset:
             tgt = voxel_downsample(
                 np.asarray(content[f"pcl_{a}"], np.float64)[:, :3], 1.0
             )
-            self._lazy_cache[ck] = icp_register(
+            self._lazy_memo(ck, icp_register(
                 src, tgt, np.eye(4), voxel=1.0, max_corr_dist=1.5
-            )
+            ))
         return self._lazy_cache[ck]
+
+    def _content_key(self, content: dict) -> str:
+        """Stable memo key for a sample dict: its stamped name (see
+        _load_content). Falls back to id() only for contents that never
+        passed through _load_content (hand-built fixtures)."""
+        return str(content.get("name", id(content)))
+
+    def _lazy_memo(self, key: tuple, value):
+        self._lazy_cache[key] = value
+        while len(self._lazy_cache) > self._lazy_cache_max:
+            self._lazy_cache.popitem(last=False)
 
     def _ground_mask(self, content: dict, tk: str, pcl: np.ndarray):
         key = f"is_ground_{tk}"
@@ -233,11 +250,11 @@ class LidarDataset:
         if self.cfg.ground_label_source == "jcp":
             # reference lazy path: full JCP segmentation computed on first
             # access (waymo_torch_dataset.py:295-335), memoized
-            ck = (content.get("name", id(content)), "ground", tk)
+            ck = (self._content_key(content), "ground", tk)
             if ck not in self._lazy_cache:
                 from liso_tpu.data.ground import jpc_ground_remove
 
-                self._lazy_cache[ck] = jpc_ground_remove(pcl)
+                self._lazy_memo(ck, jpc_ground_remove(pcl))
             return self._lazy_cache[ck]
         return infer_ground_label_using_cone(
             pcl, self.cfg.ground_cone_z_threshold_m
@@ -329,14 +346,21 @@ class LidarDataset:
         return boxes
 
     # -- main -----------------------------------------------------------
+    def _load_content(self, idx: int) -> dict:
+        """load_sample_dict + stamp a stable 'name' (from sample_files)
+        so lazy-ICP/ground memo keys never fall back to id(content)."""
+        content = self.load_sample_dict(idx)
+        content.setdefault("name", Path(self.sample_files[idx]).stem)
+        return content
+
     def get_pair(self, idx: int, a: str, b: str) -> HostSample:
         """Build the sample for a specific time-key pair (used by the SLIM
         flow export, which writes all 6 ordered pairs of t0/t1/t2)."""
         dt = self.cfg.time_delta_s * abs(int(b[1]) - int(a[1]))
-        return self._build(self.load_sample_dict(idx), idx, a, b, dt)
+        return self._build(self._load_content(idx), idx, a, b, dt)
 
     def __getitem__(self, idx: int) -> HostSample:
-        content = self.load_sample_dict(idx)
+        content = self._load_content(idx)
         a, b, dt = self.select_time_keys()
         return self._build(content, idx, a, b, dt)
 

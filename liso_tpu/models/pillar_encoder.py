@@ -19,10 +19,28 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from liso_tpu.ops import scatter
 from liso_tpu.ops.bev import BevSetup
 from liso_tpu.ops.pillars import pillarize
+
+
+class PreparedPillars(struct.PyTreeNode):
+    """Output of prepare_pillar_inputs. grid_size/z_cutoff record the
+    config the prep was computed under so sharing consumers can verify
+    compatibility (ADVICE r3: a mismatched shared prep silently applies
+    the wrong z mask). They are static pytree metadata, so the check
+    stays a concrete Python comparison even under jit."""
+
+    feats: jnp.ndarray  # [B, N, F+5], cell-sorted
+    cell: jnp.ndarray  # [B, N] int32 cell ids (sorted)
+    in_pillar: jnp.ndarray  # [B, N] bool
+    grid_size: tuple = struct.field(pytree_node=False, default=())
+    z_cutoff: float = struct.field(pytree_node=False, default=5.0)
+
+    def __getitem__(self, i):  # legacy (feats, cell, in_pillar) unpacking
+        return (self.feats, self.cell, self.in_pillar)[i]
 
 
 class MaskedBatchNorm(nn.Module):
@@ -75,12 +93,16 @@ def prepare_pillar_inputs(
     encoder consuming the same cloud: cell-id assignment, the cell sort,
     per-point cluster means and center offsets, feature assembly.
 
-    Returns (feats [B, N, F+5], cell_s [B, N], in_pillar_s [B, N]) with
-    points SORTED by cell id. SLIM and the detector each run their own
-    learned PFN (Dense/BN) on top, but this input stage is identical —
-    the fused streaming step computes it once and passes it to both
-    (the reference runs mmcv Voxelization per network; here the prep is
-    ~half the encoder cost, see benchmarks/pillar_breakdown.py).
+    Returns PreparedPillars(feats [B, N, F+5], cell_s [B, N],
+    in_pillar_s [B, N], grid_size, z_cutoff) with points SORTED by cell
+    id. SLIM and the detector each run their own learned PFN (Dense/BN)
+    on top, but this input stage is identical — the fused streaming step
+    computes it once and passes it to both (the reference runs mmcv
+    Voxelization per network; here the prep is ~half the encoder cost,
+    see benchmarks/pillar_breakdown.py). The grid_size/z_cutoff fields
+    let consuming encoders assert the prep matches their own config
+    (sharing a prep between differently-configured encoders would be
+    silently wrong masking otherwise).
     """
     h, w = bev.grid_size
 
@@ -119,7 +141,10 @@ def prepare_pillar_inputs(
     center_off = pts_s[..., :2] - ((rc + 0.5) * res + emin)
     feats = jnp.concatenate([pts_s, cluster_off, center_off], axis=-1)
     feats = jnp.where(in_pillar_s[..., None], feats, 0.0)
-    return feats, cell_s, in_pillar_s
+    return PreparedPillars(
+        feats=feats, cell=cell_s, in_pillar=in_pillar_s,
+        grid_size=tuple(bev.grid_size), z_cutoff=float(z_cutoff),
+    )
 
 
 class PillarEncoder(nn.Module):
@@ -152,7 +177,16 @@ class PillarEncoder(nn.Module):
             prepared = prepare_pillar_inputs(
                 points, valid, bev, z_cutoff=self.z_cutoff
             )
-        feats, cell_s, in_pillar_s = prepared
+        elif isinstance(prepared, PreparedPillars):
+            assert prepared.grid_size == tuple(bev.grid_size), (
+                f"shared pillar prep was computed for grid "
+                f"{prepared.grid_size}, encoder expects {tuple(bev.grid_size)}"
+            )
+            assert prepared.z_cutoff == float(self.z_cutoff), (
+                f"shared pillar prep used z_cutoff={prepared.z_cutoff}, "
+                f"encoder expects {self.z_cutoff}"
+            )
+        feats, cell_s, in_pillar_s = prepared[:3]
 
         from liso_tpu.ops.grid_scatter_pallas import (
             grid_reduce, use_pallas_grid_ops,

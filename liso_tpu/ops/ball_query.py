@@ -34,15 +34,19 @@ def grid_ball_query(
     radius: float,
     k: int,
     bev_range_m=(100.0, 100.0),
-    cap: int = 16,
+    cap: int | None = None,
 ):
     """-> (idx [N, k] int32 into the input cloud, mask [N, k] bool).
 
     Neighbors are the k nearest points with planar cell distance <= 1 cell
     and 3D distance <= radius (self included). Queries/candidates outside
     `valid` or the BEV range produce mask=False slots. `cap` bounds the
-    candidates drawn per cell (16 covers typical LiDAR densities at
-    radius-sized cells; raise it for very dense clouds)."""
+    candidates drawn per cell; it defaults to max(2*k, 16) so the top_k
+    over 9*cap candidates actually sees the k nearest points even in
+    dense cells (a cap == k would return an arbitrary per-cell prefix in
+    cells holding more than k points)."""
+    if cap is None:
+        cap = max(2 * k, 16)
     n = points.shape[0]
     xyz = points[:, :3]
     hx = 0.5 * float(bev_range_m[0])

@@ -171,7 +171,15 @@ def _bwd_kernel(coords_ref, f0_ref, f1_ref, g_ref, df0_ref, df1_ref, *,
                 gij = g_ref[0, lvl * w1 * w1 + i * w1 + j, :]  # [P]
                 dwr = dwr + col_m[j] * gij[None, :]
             dcorr3 = dcorr3 + row_m[i][:, None, :] * dwr[None, :, :]
-        # scale + bf16 cast per level (keeps the concat buffer at bf16)
+        # scale + bf16 cast per level (keeps the concat buffer at bf16).
+        # PRECISION TRADE (ADVICE r3): quantizing the corr cotangent to
+        # bf16 here adds ~1e-3 relative rounding to df0/df1 vs the mm
+        # path's f32 cotangent — FORWARD taps stay bit-identical, only
+        # gradients differ (tests/test_corr_fused.py asserts 2e-2 rel).
+        # Kept bf16 deliberately: both bwd dots feed the MXU, whose
+        # native input width is bf16 (f32 operands decompose into 3x the
+        # passes), and halving the [levels.total, P] buffer is what lets
+        # the tile sizes used at grid 512 fit VMEM.
         dparts.append(
             (dcorr3 * scale).astype(jnp.bfloat16).reshape(hk * wk, p)
         )

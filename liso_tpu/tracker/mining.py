@@ -149,19 +149,22 @@ def mine_sequence(
     """Returns {"mined_db": ..., "raw_db": ..., "augm_db": ...,
     "num_tracks": int}.
 
-    detect_batch_fn, when given, precomputes detections for ALL frames in
-    fixed-size device batches (one predict dispatch per chunk instead of one
-    per frame — mining inference was batch-1 per frame in the reference,
-    tracking.py:639-644 DataLoader(batch_size=1))."""
+    detect_batch_fn, when given, batches detection inference in fixed-size
+    device chunks (one predict dispatch per chunk instead of one per frame —
+    mining inference was batch-1 per frame in the reference,
+    tracking.py:639-644 DataLoader(batch_size=1)). Chunks are computed
+    lazily INSIDE the frame loop so cfg.timeout_s bounds the dominant
+    inference cost too (the reference checks its budget between frames,
+    tracking.py:594; precomputing the whole sequence up front would let a
+    long sequence blow past the watchdog before tracking even starts)."""
     import time as _time
 
     tracker = FlowBasedBoxTracker(cfg.box_matching_threshold_m)
     raw_db: Dict[str, dict] = {}
     t_start = _time.time()
 
-    pre_boxes: Optional[List[Boxes]] = (
-        detect_batch_fn(frames) if detect_batch_fn is not None else None
-    )
+    pre_boxes: List[Boxes] = []
+    detect_chunk = 8  # frames per lazy detect_batch_fn call
 
     for fi, frame in enumerate(frames):
         if cfg.timeout_s and _time.time() - t_start > cfg.timeout_s:
@@ -170,8 +173,12 @@ def mine_sequence(
                 f"{len(tracker.boxes_sensor)} frames — finishing early"
             )
             break
+        if detect_batch_fn is not None and fi >= len(pre_boxes):
+            pre_boxes.extend(detect_batch_fn(frames[fi : fi + detect_chunk]))
         # fixed-capacity, includes NMS
-        boxes = pre_boxes[fi] if pre_boxes is not None else detect_fn(frame)
+        boxes = (
+            pre_boxes[fi] if detect_batch_fn is not None else detect_fn(frame)
+        )
         boxes, st1_T_b, stm1_T_b = _mine_frame_device(
             boxes,
             jnp.asarray(frame.pcl),

@@ -24,7 +24,12 @@ def main(argv=None):
     def factory(mined_db):
         return make_train_dataset(cfg, dcfg, args.fast_test, mined_db)
 
-    loop = LisoSelfTraining(cfg, factory, val_ds, log_dir, data_cfg=dcfg)
+    # --world_size/--worker_id: multi-host rounds — mining shards sequences
+    # across workers and merges DBs through the shared log_dir
+    loop = LisoSelfTraining(
+        cfg, factory, val_ds, log_dir, data_cfg=dcfg,
+        world_size=args.world_size, worker_id=args.worker_id,
+    )
 
     start_step = 0
     if args.load_checkpoint:

@@ -59,8 +59,12 @@ def main(argv=None):
         print(f"restored detector checkpoint at step {step}")
 
     def body():
+        # gather=False: standalone mining workers publish their shard and
+        # exit; DBs merge offline (each worker has its own log_dir). The
+        # rounds loop (liso_cli) gathers in-process instead.
         loop.mine(
-            train_ds, world_size=args.world_size, worker_id=args.worker_id
+            train_ds, world_size=args.world_size, worker_id=args.worker_id,
+            gather=False,
         )
         n_boxes = sum(
             len(v["track_id"]) for v in (loop.mined_db or {}).values()

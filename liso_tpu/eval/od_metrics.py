@@ -376,6 +376,7 @@ class ObjectDetectionMetrics:
                         "recall": rec,
                         "precision": prec,
                         "confidence": conf,
+                        "n_gt": int(np.count_nonzero(labels)),
                     }
         return out
 

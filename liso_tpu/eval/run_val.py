@@ -370,6 +370,19 @@ def run_val(
             banks.update(
                 g, bench, p, sample_token=str(batch["sample_id"][i])
             )
+    if writer is not None:
+        # PR/ROC/TP-FP curve banks (reference od_metrics.py:547-1396): raw
+        # PR-curve summaries for every range bank, rendered figure panels
+        # for the headline 0-1000 m iou_bev bank
+        headline = "visible/detection_metrics/0_1000m/iou_bev"
+        for name, bank in banks.range_banks.items():
+            if not hasattr(bank, "curves"):
+                continue
+            for key, curve in bank.curves().items():
+                writer.add_pr_curve_bank(
+                    f"curves/{name}/{key}", curve, global_step,
+                    with_figure=(name == headline),
+                )
     return banks.compute()
 
 

@@ -49,9 +49,14 @@ class ConvBNRelu(nn.Module):
         # dtype on the norm = bf16 activations at every stage boundary
         # (statistics still accumulate in fp32 internally); emitting fp32
         # here doubles the HBM traffic between bf16 convs
+        # use_fast_variance=False: the one-pass Var = E[x^2] - E[x]^2
+        # cancels catastrophically when |mean| >> std, making gradients
+        # depend on the reduction tree (sharded vs single-device runs
+        # diverged ~1% through it); the two-pass form is reduction-order
+        # robust for one extra cheap pass
         x = nn.BatchNorm(
             use_running_average=not train, epsilon=1e-3, momentum=0.99,
-            dtype=self.dtype, name="bn"
+            dtype=self.dtype, use_fast_variance=False, name="bn"
         )(x)
         return nn.relu(x)
 
@@ -130,6 +135,7 @@ class SepHead(nn.Module):
                     epsilon=1e-3,
                     momentum=0.99,
                     dtype=self.dtype,
+                    use_fast_variance=False,  # see RPN bn comment
                     name=f"{name}_bn{i}",
                 )(y)
                 y = nn.relu(y)

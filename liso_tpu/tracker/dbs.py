@@ -126,6 +126,34 @@ def load_augm_db(
     }
 
 
+def merge_finalized_augm_dbs(dbs) -> Dict[str, object]:
+    """Merge per-worker finalized augm DBs (sharded mining gather,
+    SURVEY §2.9): concat snippet lists / stack arrays, re-offsetting
+    unique_track_id so ids from different workers never collide."""
+    dbs = [d for d in dbs if len(d["boxes"].get("pos", ()))]
+    if not dbs:
+        return finalize_augm_db(empty_augm_db())
+    out = {
+        "pcl_in_box_cosy": [], "lidar_rows": [],
+        "boxes": {
+            k: np.concatenate([d["boxes"][k] for d in dbs])
+            for k in dbs[0]["boxes"]
+        },
+        "box_T_sensor": np.concatenate([d["box_T_sensor"] for d in dbs]),
+    }
+    ids, offset = [], 0
+    for d in dbs:
+        out["pcl_in_box_cosy"].extend(d["pcl_in_box_cosy"])
+        out["lidar_rows"].extend(d["lidar_rows"])
+        tid = np.asarray(d["unique_track_id"], np.int64)
+        ids.append(tid + offset)
+        offset += int(tid.max()) + 1 if len(tid) else 0
+    out["unique_track_id"] = (
+        np.concatenate(ids) if ids else np.zeros((0,), np.int64)
+    )
+    return out
+
+
 def build_augm_db_from_groundtruth(
     samples,
     min_num_points_in_box: int = 5,

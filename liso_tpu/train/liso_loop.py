@@ -102,7 +102,17 @@ class LisoSelfTraining:
         val_dataset: Optional[LidarDataset],
         log_dir,
         data_cfg: DataCfg,
+        world_size: int = 1,
+        worker_id: int = 0,
     ):
+        """world_size/worker_id > (1, 0): multi-host mode — every host runs
+        the same rounds loop (replicated training), but mining shards
+        sequences by `seq_idx % world_size == worker_id` and the per-worker
+        DBs are merged through the shared log_dir (SURVEY §2.9: sequences
+        are independent, DB aggregation is a host-side gather)."""
+        assert 0 <= worker_id < world_size, (worker_id, world_size)
+        self.world_size = int(world_size)
+        self.worker_id = int(worker_id)
         self.cfg = cfg
         self.data_cfg = data_cfg
         self.bev = data_cfg.bev
@@ -297,12 +307,18 @@ class LisoSelfTraining:
 
     # ------------------------------------------------------------------
     def mine(
-        self, dataset: LidarDataset, world_size: int = 1, worker_id: int = 0
+        self, dataset: LidarDataset, world_size: Optional[int] = None,
+        worker_id: Optional[int] = None, gather: bool = True,
     ) -> None:
         """liso_cli.py:180-272 mining trigger. Sequences are independent, so
         multi-host mining shards them by `seq_idx % world_size == worker_id`
         (the reference's embarrassingly-parallel job sharding, SURVEY §2.9);
-        per-worker DBs merge by dict union / list concat."""
+        per-worker DBs are saved under the shared log_dir and merged by dict
+        union / array concat once every worker's marker file appears.
+        gather=False publishes this worker's shard without waiting for
+        peers (the standalone mining CLI's offline-merge mode)."""
+        world_size = self.world_size if world_size is None else world_size
+        worker_id = self.worker_id if worker_id is None else worker_id
         t0 = time.time()
         bootstrap = self.round_idx == 0 or self.state is None
         detect_fn = (
@@ -372,11 +388,37 @@ class LisoSelfTraining:
         augm = shrink_augm_db(
             augm, float(self.cfg.data.tracking_cfg.max_augm_db_size_mb)
         )
-        self.mined_db, self.augm_db = mined, augm
-        self._augm_db_final = None  # invalidate the stacked cache
         out = self.log_dir / f"mined_round_{self.round_idx}"
-        save_mined_boxes_db(mined, out / "tracked")
-        save_augm_db(augm, out / "augm_db")
+        if world_size > 1:
+            # publish this worker's shard, then gather all workers' shards
+            # through the shared log_dir (the marker file is written after
+            # both DB files are flushed, so readers never see half-written
+            # npz; reference analogue: the embarrassingly-parallel
+            # --world_size job sharding, slim/experiment.py:331-353)
+            from liso_tpu.tracker.dbs import finalize_augm_db
+
+            save_mined_boxes_db(mined, out / f"tracked_worker{worker_id}")
+            save_augm_db(augm, out / f"augm_db_worker{worker_id}")
+            (out / f".done_worker{worker_id}").touch()
+            if gather:
+                mined, augm_final = self._gather_worker_dbs(out, world_size)
+                self.mined_db = mined
+                self.augm_db = None
+                self._augm_db_final = augm_final
+                if worker_id == 0:  # canonical merged DBs for resume/eval
+                    save_mined_boxes_db(mined, out / "tracked")
+                    out.mkdir(parents=True, exist_ok=True)
+                    np.save(
+                        out / "augm_db.npy", augm_final, allow_pickle=True
+                    )
+            else:  # offline-merge mode: keep only this worker's shard
+                self.mined_db, self.augm_db = mined, augm
+                self._augm_db_final = None
+        else:
+            self.mined_db, self.augm_db = mined, augm
+            self._augm_db_final = None  # invalidate the stacked cache
+            save_mined_boxes_db(mined, out / "tracked")
+            save_augm_db(augm, out / "augm_db")
         # config + box-stats dumps next to the DBs (tracking.py:1938-1950)
         import yaml
 
@@ -430,6 +472,45 @@ class LisoSelfTraining:
             f"round {self.round_idx}: mined {n_boxes} boxes over {n_seqs} "
             f"sequences in {time.time() - t0:.0f}s"
         )
+
+    def _gather_worker_dbs(self, out: Path, world_size: int,
+                           poll_s: float = 2.0, timeout_s: float = 3600.0):
+        """Wait for every worker's `.done_worker{i}` marker under `out`,
+        then merge the mined dicts (disjoint sequence shards — plain dict
+        union) and the finalized augm DBs (array concat with track-id
+        re-offsetting)."""
+        from liso_tpu.tracker.dbs import (
+            load_mined_boxes_db,
+            merge_finalized_augm_dbs,
+        )
+
+        deadline = time.time() + timeout_s
+        missing = set(range(world_size))
+        while missing:
+            missing = {
+                i for i in missing if not (out / f".done_worker{i}").exists()
+            }
+            if not missing:
+                break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"sharded mining gather: workers {sorted(missing)} did "
+                    f"not publish DBs under {out} within {timeout_s}s"
+                )
+            time.sleep(poll_s)
+        mined = merge_mined_dbs(
+            [
+                load_mined_boxes_db(out / f"tracked_worker{i}.npz")
+                for i in range(world_size)
+            ]
+        )
+        augm = merge_finalized_augm_dbs(
+            [
+                np.load(out / f"augm_db_worker{i}.npy", allow_pickle=True).item()
+                for i in range(world_size)
+            ]
+        )
+        return mined, augm
 
     def render_sequence_frames(
         self, dataset: LidarDataset, max_frames: int = 20, grid_hw=(256, 256),
@@ -623,12 +704,17 @@ class LisoSelfTraining:
                 wt.add_scalar("dataloading_s", t_data, step)
                 wt.add_scalar("fwd_bwd_s", t_fwdbwd, step)
 
-            if val_every and step > 0 and step % val_every == 0:
+            # multi-host: training is replicated (identical batches would
+            # need a sharded loader; DBs already merged), so only worker 0
+            # validates and checkpoints
+            if (val_every and step > 0 and step % val_every == 0
+                    and self.worker_id == 0):
                 self.validate(step, fast_test)
             save_every = int(self.cfg.checkpoint.save_model_every)
-            if save_every and step > 0 and step % save_every == 0:
+            if (save_every and step > 0 and step % save_every == 0
+                    and self.worker_id == 0):
                 self.save(step)
-        if self.state is not None:
+        if self.state is not None and self.worker_id == 0:
             self.save(total_steps)
         return metrics_hist
 
@@ -704,12 +790,42 @@ class LisoSelfTraining:
                 "valid": np.asarray(boxes.valid),
             }
 
-        metrics = run_val(iter(loader), predict, max_batches=max_batches)
+        metrics = run_val(
+            iter(loader), predict, max_batches=max_batches,
+            writer=self.tb("val", "detector/"), global_step=step,
+            bev_range_m=self.bev.bev_range_m,
+        )
         self.tb("val", "detector/").add_scalars(
             {k: v for k, v in metrics.items()
              if k.startswith(("mAP", "AP_overall_overall", "ATE", "AOE"))},
             step,
         )
+        # second eval pass over the TRAINING distribution (val-on-train,
+        # reference liso_cli.py:665-684 + main_utils.py:323-463): the
+        # factory without mined boxes yields GT targets for measurement
+        num_vot = int(
+            getattr(self.cfg.validation, "num_val_on_train_steps", 0) or 0
+        )
+        if num_vot:
+            vot_ds = self.train_dataset_factory(None)
+            vot_loader = Prefetcher(
+                vot_ds, batch_size=1, shuffle=False, num_workers=2
+            )
+            vot_metrics = run_val(
+                iter(vot_loader), predict,
+                max_batches=4 if fast_test else num_vot,
+                writer=self.tb("val_on_train", "detector/"),
+                global_step=step, bev_range_m=self.bev.bev_range_m,
+            )
+            self.tb("val_on_train", "detector/").add_scalars(
+                {k: v for k, v in vot_metrics.items()
+                 if k.startswith(("mAP", "AP_overall_overall", "ATE", "AOE"))},
+                step,
+            )
+            metrics.update(
+                {f"val_on_train/{k}": v for k, v in vot_metrics.items()
+                 if k.startswith("mAP")}
+            )
         return metrics
 
 

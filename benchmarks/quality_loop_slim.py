@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--num-iters", type=int, default=6)
+    ap.add_argument("--drop-every", type=int, default=2,
+                    help="drop_net_weights_every_nth_round (reference "
+                    "default 2: OneCycle + reset span two rounds)")
     ap.add_argument("--out", type=str, default="/tmp/quality_loop_slim")
     args = ap.parse_args()
 
@@ -153,7 +156,8 @@ def main():
         key_value_updates=[
             ["optimization", "rounds", "active", "true"],
             ["optimization", "rounds", "steps_per_round", str(spr)],
-            ["optimization", "rounds", "drop_net_weights_every_nth_round", "1"],
+            ["optimization", "rounds", "drop_net_weights_every_nth_round",
+             str(args.drop_every)],
             ["optimization", "num_training_steps", str(args.rounds * spr)],
             ["optimization", "learning_rate", str(args.lr)],
             ["data", "batch_size", str(args.batch)],

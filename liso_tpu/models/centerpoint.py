@@ -115,7 +115,16 @@ class RPN(nn.Module):
 
 class SepHead(nn.Module):
     """Per-attribute conv heads (center_head.py:9-65): (num_conv-1) x
-    conv(3x3, 64) + BN + relu, then conv(3x3, out)."""
+    conv(3x3, 64) + BN + relu per head, then conv(3x3, out).
+
+    MXU layout: the per-head hidden convs are fused across heads into ONE
+    conv producing num_heads*head_conv channels — mathematically identical
+    to separate heads (conv(x,W1)||conv(x,W2) == conv(x,[W1|W2]); BatchNorm
+    is per-channel, so one BN over the concat equals per-head BNs), but a
+    256-wide output keeps the MXU lanes full where four separate 64-wide
+    convs each ran at ~half rate (tests/test_detector.py parity test).
+    Only the tiny per-head final convs stay separate (their inputs are
+    disjoint channel slices)."""
 
     heads: Tuple[Tuple[str, int], ...]  # ((name, out_channels), ...)
     head_conv: int = 64
@@ -124,24 +133,29 @@ class SepHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        names = [name for name, _ in self.heads]
+        nh = len(names)
+        y = x
+        for i in range(self.num_conv - 1):
+            y = nn.Conv(nh * self.head_conv, (3, 3), dtype=self.dtype,
+                        name=f"fused_conv{i}")(y)
+            y = nn.BatchNorm(
+                use_running_average=not train,
+                epsilon=1e-3,
+                momentum=0.99,
+                dtype=self.dtype,
+                use_fast_variance=False,  # see RPN bn comment
+                name=f"fused_bn{i}",
+            )(y)
+            y = nn.relu(y)
         out = {}
-        for name, channels in self.heads:
-            y = x
-            for i in range(self.num_conv - 1):
-                y = nn.Conv(self.head_conv, (3, 3), dtype=self.dtype,
-                            name=f"{name}_conv{i}")(y)
-                y = nn.BatchNorm(
-                    use_running_average=not train,
-                    epsilon=1e-3,
-                    momentum=0.99,
-                    dtype=self.dtype,
-                    use_fast_variance=False,  # see RPN bn comment
-                    name=f"{name}_bn{i}",
-                )(y)
-                y = nn.relu(y)
+        for j, (name, channels) in enumerate(self.heads):
+            sl = y[..., j * self.head_conv : (j + 1) * self.head_conv]
+            if self.num_conv == 1:
+                sl = y  # no hidden convs: every head reads the input
             out[name] = nn.Conv(
                 channels, (3, 3), dtype=self.dtype, name=f"{name}_final"
-            )(y).astype(jnp.float32)
+            )(sl).astype(jnp.float32)
         return out
 
 

@@ -182,11 +182,17 @@ class LisoSelfTraining:
 
     def _make_trainer(self):
         opt = self.cfg.optimization
-        steps = (
-            int(opt.rounds.steps_per_round)
-            if opt.rounds.active
-            else int(opt.num_training_steps)
-        )
+        # OneCycle spans the FULL reset period — steps_per_round x
+        # drop_net_weights_every_nth_round (+2) — so rounds between weight
+        # resets continue at a meaningful LR (min = max_lr/100), exactly
+        # like the reference (liso_cli.py:806-820 get_optimizer_scheduler,
+        # mined mode). Sizing it to one round starves every non-reset
+        # round at ~0 LR and the self-training signal dies.
+        if opt.rounds.active:
+            drop = max(int(opt.rounds.drop_net_weights_every_nth_round), 1)
+            steps = int(opt.rounds.steps_per_round) * drop + 2
+        else:
+            steps = int(opt.num_training_steps) + 2
         if self.cfg.network.name == "pointpillars":
             from liso_tpu.train.pointpillars_train import PointPillarsTrainer
 

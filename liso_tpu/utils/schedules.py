@@ -32,16 +32,39 @@ def polynomial_decay_with_warmup(
 
 
 def onecycle(
-    max_lr: float, total_steps: int, pct_start: float = 0.3, div_factor: float = 25.0,
-    final_div_factor: float = 1e4,
+    max_lr: float, total_steps: int, pct_start: float = 0.4,
+    div_factor: float = 10.0, final_div_factor: float = 10.0,
 ) -> optax.Schedule:
-    """torch OneCycleLR (cosine annealing strategy) equivalent used for the
-    detector (liso_cli.py:815-823). optax's onecycle NaNs when a phase has
-    zero steps (fast-test configs with ~3 steps/round), so clamp."""
-    return optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 10),
-        peak_value=max_lr,
-        pct_start=pct_start,
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
-    )
+    """torch OneCycleLR (anneal_strategy='cos') exact equivalent with the
+    reference's mined-mode hyperparameters (liso_cli.py:792-823:
+    pct_start 0.4, div_factor 10, final_div_factor 10, total sized to
+    steps_per_round * drop_net_weights_every_nth_round + 2). Beyond
+    total_steps the LR stays clamped at min_lr = max_lr / (div * final_div)
+    — torch raises there, but the +2 sizing means training never reaches
+    it; our rounds loop relies on the clamp for its final steps.
+    Parity-tested against torch OneCycleLR in
+    tests/test_reference_metric_parity.py."""
+    total = max(int(total_steps), 10)
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    # torch phase boundary: float(pct_start * total_steps) - 1
+    up_steps = max(float(pct_start * total) - 1.0, 1.0)
+    down_steps = max(total - 1.0 - up_steps, 1.0)
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        s = jnp.asarray(step, jnp.float32)
+        # torch _annealing_cos(start, end, pct) = end + (start-end)/2 *
+        # (1 + cos(pi * pct))
+        pct_up = jnp.clip(s / up_steps, 0.0, 1.0)
+        lr_up = max_lr + (initial_lr - max_lr) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * pct_up)
+        )
+        pct_dn = jnp.clip((s - up_steps) / down_steps, 0.0, 1.0)
+        lr_dn = min_lr + (max_lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * pct_dn)
+        )
+        return jnp.where(s <= up_steps, lr_up, lr_dn)
+
+    return schedule

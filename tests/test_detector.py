@@ -139,3 +139,44 @@ def test_shared_pillar_prep_matches_unshared():
     np.testing.assert_array_equal(
         np.asarray(aux_a["occupancy"]), np.asarray(aux_b["occupancy"])
     )
+
+
+def test_sep_head_fusion_is_exact():
+    """The MXU-fused SepHead (one wide hidden conv + one BN across all
+    heads) computes EXACTLY the per-head composition: conv concat is
+    output-stacking and BatchNorm is per-channel, so slicing the fused
+    weights reproduces each head independently."""
+    import jax
+
+    from liso_tpu.models.centerpoint import SepHead
+
+    heads = (("pos", 3), ("dims", 3), ("rot", 2), ("probs", 1))
+    hc = 8
+    m = SepHead(heads=heads, head_conv=hc)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 12)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x, True)
+    out, _ = m.apply(variables, x, True, mutable=["batch_stats"])
+    p = variables["params"]
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    for j, (name, _) in enumerate(heads):
+        sl = slice(j * hc, (j + 1) * hc)
+        k = p["fused_conv0"]["kernel"][..., sl]
+        b = p["fused_conv0"]["bias"][sl]
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=dn
+        ) + b
+        mean = y.mean(axis=(0, 1, 2))
+        var = ((y - mean) ** 2).mean(axis=(0, 1, 2))
+        y = (y - mean) / jnp.sqrt(var + 1e-3)
+        y = y * p["fused_bn0"]["scale"][sl] + p["fused_bn0"]["bias"][sl]
+        y = jnp.maximum(y, 0.0)
+        z = jax.lax.conv_general_dilated(
+            y, p[f"{name}_final"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=dn,
+        ) + p[f"{name}_final"]["bias"]
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(z), atol=2e-5,
+            err_msg=f"fused SepHead diverged from per-head math for {name}",
+        )

@@ -1305,3 +1305,27 @@ def test_nuscenes_devkit_cross_check(tmp_path):
             our[f"nusc/AP_movable_overall_dist@{th}"],
             ref["label_aps"]["movable"][th], atol=1e-12,
         )
+
+
+def test_onecycle_schedule_matches_torch_reference():
+    """utils/schedules.onecycle vs torch OneCycleLR with the reference's
+    mined-mode hyperparameters (liso_cli.py:806-820: pct_start 0.4,
+    div_factor 10, final_div_factor 10, cosine annealing)."""
+    import torch
+
+    from liso_tpu.utils.schedules import onecycle
+
+    max_lr, total = 1e-3, 502  # steps_per_round 250 x drop 2 + 2
+    sched = onecycle(max_lr, total)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=max_lr)
+    ref = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=max_lr, total_steps=total, pct_start=0.4,
+        div_factor=10.0, final_div_factor=10.0,
+    )
+    ours, theirs = [], []
+    for step in range(total):
+        ours.append(float(sched(step)))
+        theirs.append(ref.get_last_lr()[0])
+        opt.step()
+        ref.step()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-9)

@@ -126,6 +126,8 @@ def main(argv=None):
             getattr(cfg.logging, "max_log_img_batches", 2)
         ),
         bev_range_m=tuple(cfg.data.bev_range_m),
+        # devkit-style per-class summary-plot PNGs next to the TB logs
+        summary_plot_dir=log_dir / "plots",
     )
     for k in sorted(metrics):
         print(f"{k}: {metrics[k]:.4f}")

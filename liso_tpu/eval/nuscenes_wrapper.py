@@ -341,6 +341,55 @@ class NuscenesObjectDetectionMetrics:
         return res
 
     # ------------------------------------------------------------------
+    def render_summary_plots(self, out_dir) -> list:
+        """Devkit-style summary plots (reference
+        liso/eval/nuscenes_metrics_wrapper.py:71-441 render path /
+        nuscenes devkit render.summary_plot): per class, the PR curves for
+        every distance threshold plus the TP-error-vs-recall curves at the
+        TP threshold, written as PNGs. Returns the written paths."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from pathlib import Path
+
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        written = []
+        for cn in self.class_names:
+            fig, (ax_pr, ax_tp) = plt.subplots(1, 2, figsize=(9, 3.4),
+                                               dpi=110)
+            for th in DIST_THS:
+                md = self._accumulate(cn, th)
+                ap = _calc_ap(md)
+                ax_pr.plot(
+                    md["recall"], md["precision"],
+                    label=f"dist@{th}m AP {ap:.3f}",
+                )
+            ax_pr.set_xlabel("recall")
+            ax_pr.set_ylabel("precision")
+            ax_pr.set_xlim(0, 1)
+            ax_pr.set_ylim(0, 1.02)
+            ax_pr.set_title(f"{cn}: PR")
+            ax_pr.legend(fontsize=6)
+            ax_pr.grid(alpha=0.3)
+            md_tp = self._accumulate(cn, DIST_TH_TP)
+            for m in TP_METRICS:
+                if m in md_tp and np.asarray(md_tp[m]).size:
+                    ax_tp.plot(md_tp["recall"], md_tp[m], label=m)
+            ax_tp.set_xlabel("recall")
+            ax_tp.set_ylabel("error")
+            ax_tp.set_title(f"{cn}: TP errors @ {DIST_TH_TP}m")
+            ax_tp.legend(fontsize=6)
+            ax_tp.grid(alpha=0.3)
+            fig.tight_layout()
+            p = out_dir / f"nusc_summary_{cn}.png"
+            fig.savefig(p)
+            plt.close(fig)
+            written.append(p)
+        return written
+
+    # ------------------------------------------------------------------
     def _record(self, pred: Dict[str, np.ndarray], token: str):
         """Accumulate devkit-submission entries
         (nuscenes_metrics_wrapper.translate_our_box_to_nusc_box)."""

@@ -279,6 +279,7 @@ def run_val(
     log_images_num_batches: int = 0,
     bev_range_m=(100.0, 100.0),
     global_step: int = 0,
+    summary_plot_dir=None,
 ) -> Dict[str, float]:
     """predict_boxes(batch) -> batched padded box dict (with 'valid').
     Batches must carry 'gt_boxes' (+ optionally 'gt_boxes_benchmark',
@@ -370,6 +371,13 @@ def run_val(
             banks.update(
                 g, bench, p, sample_token=str(batch["sample_id"][i])
             )
+    if summary_plot_dir is not None:
+        # devkit-style nuScenes summary plots (reference
+        # nuscenes_metrics_wrapper.py:71-441 render path)
+        try:
+            banks.nusc.render_summary_plots(summary_plot_dir)
+        except Exception as e:  # plotting must never fail an eval
+            print(f"nusc summary plots failed: {e}")
     if writer is not None:
         # PR/ROC/TP-FP curve banks (reference od_metrics.py:547-1396): raw
         # PR-curve summaries for every range bank, rendered figure panels

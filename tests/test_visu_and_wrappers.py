@@ -67,6 +67,16 @@ def test_nuscenes_wrapper_perfect_prediction():
     assert out["nusc/mAAE"] == 1.0
 
 
+def test_nuscenes_wrapper_summary_plots(tmp_path):
+    """Devkit-style per-class summary plots (PR + TP-error curves, the
+    reference's nuscenes_metrics_wrapper.py:71-441 render path)."""
+    m = NuscenesObjectDetectionMetrics()
+    gt = mk([[0, 0, 0], [10, 5, 0]])
+    m.update(gt, gt)
+    paths = m.render_summary_plots(tmp_path)
+    assert paths and all(p.exists() and p.stat().st_size > 0 for p in paths)
+
+
 def test_nuscenes_wrapper_no_detections():
     m = NuscenesObjectDetectionMetrics()
     m.update(mk([[0, 0, 0]]), mk(np.zeros((0, 3))))

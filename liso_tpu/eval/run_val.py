@@ -378,16 +378,18 @@ def run_val(
             banks.nusc.render_summary_plots(summary_plot_dir)
         except Exception as e:  # plotting must never fail an eval
             print(f"nusc summary plots failed: {e}")
-    if writer is not None:
+    add_curve = getattr(writer, "add_pr_curve_bank", None)
+    if writer is not None and add_curve is not None:
         # PR/ROC/TP-FP curve banks (reference od_metrics.py:547-1396): raw
         # PR-curve summaries for every range bank, rendered figure panels
-        # for the headline 0-1000 m iou_bev bank
+        # for the headline 0-1000 m iou_bev bank (writers without the
+        # method — test stubs, plain SummaryWriters — just skip curves)
         headline = "visible/detection_metrics/0_1000m/iou_bev"
         for name, bank in banks.range_banks.items():
             if not hasattr(bank, "curves"):
                 continue
             for key, curve in bank.curves().items():
-                writer.add_pr_curve_bank(
+                add_curve(
                     f"curves/{name}/{key}", curve, global_step,
                     with_figure=(name == headline),
                 )

@@ -306,3 +306,27 @@ def test_sharded_mining_inside_rounds_loop(fast_cfg, tmp_path):
     )
     tids = loops[0]._augm_db_final["unique_track_id"]
     assert len(np.unique(tids)) == n_unique_workers
+
+
+def test_trainer_schedule_spans_reset_period(fast_cfg, tmp_path):
+    """Reference parity (liso_cli.py:806-820): the detector OneCycle spans
+    steps_per_round x drop_net_weights_every_nth_round (+2), so the round
+    between weight resets still trains at a meaningful LR (>= max_lr/100,
+    NOT an annealed-to-zero tail)."""
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    dcfg = DataCfg(bev=bev, n_max=2048, m_max=4096, k_max_boxes=8)
+    loop = LisoSelfTraining(
+        fast_cfg, lambda db: SyntheticDataset(dcfg, n_frames=4), None,
+        tmp_path, data_cfg=dcfg,
+    )
+    spr = int(fast_cfg.optimization.rounds.steps_per_round)
+    drop = int(fast_cfg.optimization.rounds.drop_net_weights_every_nth_round)
+    max_lr = float(fast_cfg.optimization.learning_rate)
+    sched = loop.trainer.lr_schedule
+    # LR at the END of the reset period (last trained step) is the torch
+    # min_lr = max_lr / (div_factor * final_div_factor) = max_lr / 100
+    lr_end = float(sched(spr * drop - 1))
+    assert lr_end >= max_lr / 100.0 * 0.99, (lr_end, max_lr)
+    # and the peak is reached inside the period
+    peak = max(float(sched(s)) for s in range(spr * drop))
+    assert abs(peak - max_lr) / max_lr < 0.05, (peak, max_lr)

@@ -43,18 +43,22 @@ def _timed_once(fn, args):
     return time.perf_counter() - t0
 
 
-def _slope_compiled(make_run, args, lo, hi):
+def _slope_compiled(make_run, args, lo, hi, single=None):
     """(per-iter seconds, flops/iter, bytes/iter) via the slope between a
     lo- and hi-iteration chained run (tunnel-safe: block_until_ready alone
-    can return early). Compiles exactly two programs; the hi one also
-    serves the XLA cost analysis."""
+    can return early). XLA cost analysis counts a fori_loop body ONCE
+    regardless of trip count, so per-step cost must come from `single`, a
+    loop-free one-step Lowered program (compiled for analysis only);
+    without one, flops/bytes are reported as 0 rather than a wrong split.
+    Pallas custom calls are opaque to the analysis either way — callers
+    add those analytically."""
     c_lo = make_run(lo).lower(*args).compile()
     c_hi = make_run(hi).lower(*args).compile()
-    flops, bytes_ = _cost(c_hi)
+    flops, bytes_ = _cost(single.compile()) if single is not None else (0.0, 0.0)
     t_lo = _timed_once(c_lo, args)
     t_hi = _timed_once(c_hi, args)
     dt = (t_hi - t_lo) / (hi - lo)
-    return dt, flops / hi, bytes_ / hi
+    return dt, flops, bytes_
 
 
 def bench_fused_forward(grid, n_pts, batch, iters, on_tpu):
@@ -111,10 +115,31 @@ def bench_fused_forward(grid, n_pts, batch, iters, on_tpu):
         return run
 
     lo, hi = iters
-    dt, flops, bytes_ = _slope_compiled(
-        make_run, (pts0, valid, pts1, valid), lo, hi
+    fm, cn, _ = jax.eval_shape(
+        lambda p, v: slim.apply(slim_vars, p, v, method=SM.encode_frame),
+        pts0, valid,
     )
+    single = jax.jit(step).lower(fm, cn, pts1, valid)
+    dt, flops, bytes_ = _slope_compiled(
+        make_run, (pts0, valid, pts1, valid), lo, hi, single=single
+    )
+    flops += pallas_fwd_flops(batch, grid, n_pts)
     return flops, bytes_, dt
+
+
+def pallas_fwd_flops(batch, grid, n_pts):
+    """MXU FLOPs inside pallas kernels on the fused forward path (opaque
+    to XLA cost analysis): the fused corr lookup (6 RAFT iterations of
+    [M, C] x [C, P_total] row recompute) and the one-hot grid scatter-max
+    for both pillar encoders. Mirrors bench.py's accounting."""
+    hw8 = (grid // 8) ** 2
+    p_total = sum((grid // 8 // 2**lv) ** 2 for lv in range(4))
+    corr = 2 * batch * hw8 * p_total * 128 * 6
+    tile, k = 4096, 512
+    n_tiles = (grid * grid) // tile
+    chunks = n_pts // k + n_tiles
+    scatter = 2 * batch * chunks * tile * k * 65 * 2
+    return corr + scatter
 
 
 def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
@@ -155,7 +180,18 @@ def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
         return run
 
     lo, hi = iters
-    dt, flops, bytes_ = _slope_compiled(make_run, (state, sample), lo, hi)
+    single = jax.jit(
+        lambda st, s: trainer.train_step(st, s)[0]
+    ).lower(state, sample)
+    dt, flops, bytes_ = _slope_compiled(
+        make_run, (state, sample), lo, hi, single=single
+    )
+    # pallas accounting: the fwd corr/scatter kernels run for BOTH flow
+    # directions, and each has a backward kernel of ~2x the fwd matmul
+    # work (corr bwd: two MXU matmuls vs one; scatter bwd: gather +
+    # winner-mask gather) => ~2 directions x 3x fwd. The kNN loss kernel
+    # is NOT counted (data-dependent band pruning) — a lower bound.
+    flops += 2 * 3 * pallas_fwd_flops(batch, grid, n_pts)
     return flops, bytes_, dt
 
 

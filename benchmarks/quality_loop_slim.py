@@ -183,6 +183,37 @@ def main():
         cfg, factory, eval_ds, out_dir / "loop", data_cfg=mine_cfg
     )
 
+    def mined_precision_recall(mined_db, dist_m=2.0):
+        """Set-level precision/recall of the mined DB vs GT at a center
+        distance (VERDICT r3 item 5: log mined-DB precision/recall per
+        round). Greedy nearest-unmatched matching per frame."""
+        tp = n_mined_total = n_gt_total = 0
+        for idx in range(len(eval_ds)):
+            sid = eval_ds.sample_files[idx].stem
+            gt = eval_ds.load_sample_dict(idx)["gt"]["boxes"]
+            gt_pos = np.asarray(gt["pos"], np.float32)[:, :2]
+            n_gt_total += len(gt_pos)
+            entry = (mined_db or {}).get(sid)
+            if entry is None:
+                continue
+            mined_pos = np.asarray(entry["raw_box"]["pos"], np.float32)[:, :2]
+            n_mined_total += len(mined_pos)
+            if not len(gt_pos) or not len(mined_pos):
+                continue
+            d = np.linalg.norm(
+                mined_pos[:, None] - gt_pos[None, :], axis=-1
+            )
+            taken = np.zeros(len(gt_pos), bool)
+            for i in np.argsort(d.min(axis=1)):
+                j = int(np.argmin(np.where(taken, np.inf, d[i])))
+                if not taken[j] and d[i, j] <= dist_m:
+                    taken[j] = True
+                    tp += 1
+        return (
+            tp / max(n_mined_total, 1),
+            tp / max(n_gt_total, 1),
+        )
+
     def eval_predictor(predict):
         loader = Prefetcher(eval_ds, batch_size=1, shuffle=False,
                             num_workers=0)
@@ -210,6 +241,8 @@ def main():
             else {"AP@2m": 0.0, "mAP": 0.0, "ATE": 0.0, "AOE": 0.0}
         )
 
+        mined_p, mined_r = mined_precision_recall(loop.mined_db)
+
         trainer, state = loop.trainer, loop.state
         import jax.numpy as jnp
 
@@ -226,6 +259,8 @@ def main():
         det = eval_predictor(det_predict)
         row = {
             "round": r, "n_mined": n_mined,
+            "mined_precision@2m": round(mined_p, 4),
+            "mined_recall@2m": round(mined_r, 4),
             "mined_AP@2m": mined["AP@2m"], "mined_mAP": mined["mAP"],
             "det_AP@2m": det["AP@2m"], "det_mAP": det["mAP"],
             "det_ATE": det["ATE"], "det_AOE": det["AOE"],
@@ -233,7 +268,8 @@ def main():
         }
         result["rounds"].append(row)
         print(
-            f"[{args.flow}] round {r}: mined {n_mined} boxes | mined AP@2m "
+            f"[{args.flow}] round {r}: mined {n_mined} boxes | mined P/R@2m "
+            f"{mined_p:.3f}/{mined_r:.3f} AP@2m "
             f"{mined['AP@2m']:.3f} mAP {mined['mAP']:.3f} | detector "
             f"AP@2m {det['AP@2m']:.3f} mAP {det['mAP']:.3f} ATE "
             f"{det['ATE']:.2f} AOE {det['AOE']:.3f} | {train_s:.0f}s",

@@ -54,7 +54,12 @@ def _slope_compiled(make_run, args, lo, hi, single=None):
     add those analytically."""
     c_lo = make_run(lo).lower(*args).compile()
     c_hi = make_run(hi).lower(*args).compile()
-    flops, bytes_ = _cost(single.compile()) if single is not None else (0.0, 0.0)
+    if single == "lo":  # lo chain has trip count 1 -> exact single-step cost
+        flops, bytes_ = _cost(c_lo)
+    elif single is not None:
+        flops, bytes_ = _cost(single.compile())
+    else:
+        flops, bytes_ = 0.0, 0.0
     t_lo = _timed_once(c_lo, args)
     t_hi = _timed_once(c_hi, args)
     dt = (t_hi - t_lo) / (hi - lo)
@@ -179,12 +184,13 @@ def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
 
         return run
 
-    lo, hi = iters
-    single = jax.jit(
-        lambda st, s: trainer.train_step(st, s)[0]
-    ).lower(state, sample)
+    # lo is forced to 1: XLA cost analysis counts a fori_loop body ONCE,
+    # so the lo chain with trip count 1 doubles as an EXACT single-step
+    # cost program — no third train-step compile (each costs minutes)
+    _, hi = iters
+    lo = 1
     dt, flops, bytes_ = _slope_compiled(
-        make_run, (state, sample), lo, hi, single=single
+        make_run, (state, sample), lo, hi, single="lo"
     )
     # pallas accounting: the fwd corr/scatter kernels run for BOTH flow
     # directions, and each has a backward kernel of ~2x the fwd matmul

@@ -1,0 +1,306 @@
+"""Stage-level roofline for the fused inference step (bench.py's metric):
+measured per-stage time vs an analytical floor on THIS chip's envelope.
+
+Floor model (documented, deliberately optimistic so 'saturated' claims
+stay conservative):
+  * every conv/matmul reads its input once and writes its output once in
+    its compute dtype; BN / relu / residual-add / bias fuse into the
+    producing op for free; weights are ignored (<< activations here);
+  * per-op floor = max(bytes / HBM_GBs, flops / PEAK_TFs); stage floor =
+    sum over its ops (XLA does not fuse conv->conv, so sequential convs
+    each pay their I/O — this is the *XLA-achievable* floor; a perfectly
+    fused handwritten kernel could go below it);
+  * pallas kernels are charged their actual HBM blocks.
+
+measured/floor >> 1 for a stage = real headroom (latency- or
+occupancy-bound, not bandwidth-bound); ~1-1.5x = at the wall, stop
+optimizing blind. Envelope defaults are this host's measured numbers
+(docs/STATUS.md round-2 probes): bf16 peak ~170 TF/s, HBM ~157 GB/s.
+
+Prints a table + ONE JSON line; writes docs/artifacts/roofline_r4.json
+when run from the repo root.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/roofline.py
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from benchmarks._timing import chain_slope
+
+BF2 = 2  # bf16 bytes
+F4 = 4
+
+
+def conv_cost(b, h_in, cin, cout, k=3, stride=1, in_bytes=BF2, out_bytes=BF2):
+    """(bytes, flops) for one conv, floor accounting per module docstring."""
+    h_out = h_in // stride
+    bytes_ = b * h_in * h_in * cin * in_bytes + b * h_out * h_out * cout * out_bytes
+    flops = 2.0 * b * h_out * h_out * k * k * cin * cout
+    return np.array([bytes_, flops])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--peak-tf", type=float, default=170.0)
+    ap.add_argument("--peak-gbs", type=float, default=157.0)
+    ap.add_argument("--grid", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n", type=int, default=32768)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from liso_tpu.models.box_learner import BoxLearner
+    from liso_tpu.models.centerpoint import RPN, ConvBNRelu, SepHead
+    from liso_tpu.models.pillar_encoder import PillarEncoder, prepare_pillar_inputs
+    from liso_tpu.models.slim import SlimModel
+    from liso_tpu.ops.bev import BevSetup
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    g, b, n = args.grid, args.batch, args.n
+    if not on_tpu:
+        g, b, n = 128, 2, 4096
+    lo, hi = (4, 16) if on_tpu else (1, 3)
+
+    bev = BevSetup((100.0, 100.0), (g, g))
+    dtype = jnp.bfloat16 if on_tpu else None
+    slim = SlimModel(bev=bev, num_iters=6, compute_dtype=dtype)
+    det = BoxLearner(bev, network="centerpoint", use_baseline_parameters=True,
+                     compute_dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    pts0 = jnp.asarray(rng.uniform(-45, 45, (b, n, 4)).astype(np.float32))
+    pts1 = jnp.asarray(rng.uniform(-45, 45, (b, n, 4)).astype(np.float32))
+    valid = jnp.ones((b, n), bool)
+    key = jax.random.PRNGKey(0)
+    slim_vars = jax.jit(slim.init)(key, pts0, valid, pts1, valid)
+    det_vars = jax.jit(det.init)(key, pts0, valid)
+
+    SM = SlimModel
+
+    def encode(p, v):
+        return slim.apply(slim_vars, p, v, method=SM.encode_frame)
+
+    fmap0, cn0, _ = jax.jit(encode)(pts0, valid)
+    fmap1, cn1, _ = jax.jit(encode)(pts1, valid)
+
+    def mix_pts(out, a):
+        s = sum(jnp.sum(x).astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(out))
+        return (a[0] + 0.0 * s, *a[1:])
+
+    rows = []
+
+    def stage(name, fn, seed_args):
+        ms = chain_slope(fn, seed_args, mix_pts, lo=lo, hi=hi)
+        rows.append([name, ms])
+        print(f"  {name:<24}{ms:>9.2f} ms", flush=True)
+        return ms
+
+    print(f"grid {g} batch {b} n {n} backend {jax.default_backend()}",
+          flush=True)
+
+    # --- measured stages -------------------------------------------------
+    stage("prep", lambda p, v: prepare_pillar_inputs(p, v, bev),
+          (pts0, valid))
+
+    pfn = PillarEncoder(bev, num_channels=64)
+    pfn_vars = jax.jit(pfn.init)(key, pts0, valid)
+    stage("pfn_scatter",
+          lambda p, v: pfn.apply(pfn_vars, p, v)[0], (pts0, valid))
+
+    img0 = jnp.asarray(rng.uniform(-1, 1, (b, g, g, 64)).astype(np.float32))
+    if dtype is not None:
+        img0 = img0.astype(dtype)
+
+    def raft_encode(x):
+        return slim.apply(
+            slim_vars, x,
+            method=lambda m, xx: m.raft.encode(xx),
+        )
+
+    def mix_img(out, a):
+        s = sum(jnp.sum(x).astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(out))
+        return (a[0] + (0.0 * s).astype(a[0].dtype), *a[1:])
+
+    ms = chain_slope(raft_encode, (img0,), mix_img, lo=lo, hi=hi)
+    rows.append(["raft_encode", ms])
+    print(f"  {'raft_encode':<24}{ms:>9.2f} ms", flush=True)
+
+    def flow(f0, c0, f1):
+        out = slim.apply(slim_vars, f0, c0, f1,
+                         method=SM.flow_from_features)
+        return out[-1]
+
+    def mix_flow(out, a):
+        s = jnp.sum(out).astype(jnp.float32)
+        return (a[0] + (0.0 * s).astype(a[0].dtype), *a[1:])
+
+    ms = chain_slope(flow, (fmap0, cn0, fmap1), mix_flow, lo=lo, hi=hi)
+    rows.append(["flow_6iter", ms])
+    print(f"  {'flow_6iter':<24}{ms:>9.2f} ms", flush=True)
+
+    rpn = RPN(dtype=dtype)
+    rpn_vars = jax.jit(rpn.init, static_argnums=2)(key, img0, False)
+    ms = chain_slope(lambda x: rpn.apply(rpn_vars, x, False), (img0,),
+                     mix_img, lo=lo, hi=hi)
+    rows.append(["rpn", ms])
+    print(f"  {'rpn':<24}{ms:>9.2f} ms", flush=True)
+
+    import flax.linen as nn
+
+    class _H(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = ConvBNRelu(64, 1, dtype=dtype, name="shared")(x, False)
+            return SepHead(
+                (("pos", 3), ("dims", 3), ("rot", 2), ("probs", 1)),
+                dtype=dtype, name="heads")(x, False)
+
+    feat0 = jnp.zeros((b, g // 4, g // 4, 384),
+                      img0.dtype if dtype else jnp.float32)
+    h = _H()
+    h_vars = jax.jit(h.init)(key, feat0)
+    ms = chain_slope(lambda x: h.apply(h_vars, x), (feat0,), mix_img,
+                     lo=lo, hi=hi)
+    rows.append(["shared_heads", ms])
+    print(f"  {'shared_heads':<24}{ms:>9.2f} ms", flush=True)
+
+    def full_det(p, v):
+        boxes, _, _, _ = det.apply(det_vars, p, v)
+        return boxes.pos, boxes.probs
+
+    ms = chain_slope(full_det, (pts0, valid), mix_pts, lo=lo, hi=hi)
+    rows.append(["full_detect", ms])
+    print(f"  {'full_detect':<24}{ms:>9.2f} ms", flush=True)
+
+    # --- analytical floors ------------------------------------------------
+    A = lambda h, c, by=BF2: b * h * h * c * by  # activation bytes at h x h
+
+    floors = {}
+    floors["prep"] = np.array([b * n * 12 * F4 * 3, 0.0])  # ~3 f32 passes
+
+    # PFN linear + pallas scatter (feats read + grid/occ written)
+    floors["pfn_scatter"] = (
+        np.array([b * n * 10 * BF2 + b * n * 64 * BF2, 2.0 * b * n * 10 * 64])
+        + np.array([b * n * 65 * BF2 + A(g, 65), 0.0])
+    )
+
+    # JointEncoder (raft.py:129-160): conv1/2 + 2 res blocks per scale
+    # (2 convs each, + 1x1 skip on strided) + two 1x1 f32 heads
+    e = conv_cost(b, g, 64, 48, k=7, stride=2)
+    for _ in range(4):
+        e = e + conv_cost(b, g // 2, 48, 48)
+    e = e + conv_cost(b, g // 2, 48, 96, stride=2)
+    e = e + conv_cost(b, g // 4, 96, 96) + conv_cost(b, g // 2, 48, 96, k=1, stride=2)
+    e = e + 2 * conv_cost(b, g // 4, 96, 96)
+    e = e + conv_cost(b, g // 4, 96, 144, stride=2)
+    e = e + conv_cost(b, g // 8, 144, 144) + conv_cost(b, g // 4, 96, 144, k=1, stride=2)
+    e = e + 2 * conv_cost(b, g // 8, 144, 144)
+    e = e + conv_cost(b, g // 8, 144, 128, k=1, out_bytes=F4)
+    e = e + conv_cost(b, g // 8, 144, 160, k=1, out_bytes=F4)
+    floors["raft_encode"] = e
+
+    # flow: fused corr kernel (measured blocks: ~27 MB/lookup per
+    # STATUS.md) + 6x update block at g/8 + final convex upsample
+    h8 = g // 8
+    p_total = sum((h8 // 2 ** lv) ** 2 for lv in range(4))
+    corr = np.array([0.0, 2.0 * b * h8 * h8 * p_total * 128 * 6])
+    corr[0] = 6 * 27e6 * (g / 512) ** 2 * (b / 8)
+    u = np.array([0.0, 0.0])
+    taps = 4 * 49  # corr_levels * (2r+1)^2
+    u = u + conv_cost(b, h8, taps, 96, k=1)          # conv_stat_corr1
+    u = u + conv_cost(b, h8, 2, 64, k=7) + conv_cost(b, h8, 64, 32)
+    u = u + conv_cost(b, h8, 96 + 32, 80)            # motion conv
+    u = u + conv_cost(b, h8, 80 + 64 + 96, 96 * 2, k=3)  # gru zr (in=mot+ctx+net)
+    u = u + conv_cost(b, h8, 80 + 64 + 96, 96, k=3)  # gru q
+    u = u + conv_cost(b, h8, 96, 128) + conv_cost(b, h8, 128, 4, out_bytes=F4)
+    u = u + conv_cost(b, h8, 96, 256) + conv_cost(b, h8, 256, 2, out_bytes=F4)
+    ups = np.array([A(h8, 256) + A(h8, 576, F4) + A(g, 9, F4), 0.0])
+    floors["flow_6iter"] = corr + 6 * u + ups
+
+    # RPN (centerpoint.py:80-113), baseline: stages (3,5,5) @ strides 2
+    r = conv_cost(b, g, 64, 64, stride=2)
+    for _ in range(3):
+        r = r + conv_cost(b, g // 2, 64, 64)
+    r = r + conv_cost(b, g // 2, 64, 128, stride=2)
+    for _ in range(5):
+        r = r + conv_cost(b, g // 4, 128, 128)
+    r = r + conv_cost(b, g // 4, 128, 256, stride=2)
+    for _ in range(5):
+        r = r + conv_cost(b, g // 8, 256, 256)
+    r = r + conv_cost(b, g // 2, 64, 128, k=2, stride=2)   # up0 (0.5x)
+    r = r + conv_cost(b, g // 4, 128, 128, k=1)            # up1
+    r = r + conv_cost(b, g // 8, 256, 128, k=2)            # up2 deconv
+    floors["rpn"] = r
+
+    hh = g // 4
+    s = conv_cost(b, hh, 384, 64, k=1)
+    s = s + conv_cost(b, hh, 64, 256)
+    for oc in (3, 3, 2, 1):
+        s = s + conv_cost(b, hh, 64, oc, out_bytes=F4)
+    floors["shared_heads"] = s
+
+    floors["full_detect"] = (
+        floors["pfn_scatter"] + floors["rpn"] + floors["shared_heads"]
+    )
+
+    # --- report -----------------------------------------------------------
+    peak_bw = args.peak_gbs * 1e9
+    peak_tf = args.peak_tf * 1e12
+    out_rows = []
+    print(f"\n{'stage':<24}{'meas ms':>9}{'floor ms':>10}{'x floor':>9}"
+          f"{'bound':>8}")
+    for name, ms in rows:
+        fl = floors.get(name)
+        if fl is None:
+            continue
+        bw_ms = fl[0] / peak_bw * 1e3
+        cp_ms = fl[1] / peak_tf * 1e3
+        floor_ms = max(bw_ms, cp_ms)
+        bound = "hbm" if bw_ms >= cp_ms else "mxu"
+        ratio = ms / floor_ms if floor_ms > 0 else float("inf")
+        print(f"{name:<24}{ms:>9.2f}{floor_ms:>10.2f}{ratio:>9.2f}{bound:>8}")
+        out_rows.append({
+            "stage": name, "measured_ms": round(ms, 2),
+            "floor_ms": round(floor_ms, 2),
+            "floor_bw_ms": round(bw_ms, 2), "floor_mxu_ms": round(cp_ms, 2),
+            "x_floor": round(ratio, 2), "bound": bound,
+        })
+
+    # fused-step totals: pfn_scatter runs twice (SLIM + detector)
+    total_meas = sum(ms for nm, ms in rows if nm in (
+        "prep", "pfn_scatter", "raft_encode", "flow_6iter", "rpn",
+        "shared_heads")) + dict(rows)["pfn_scatter"]
+    total_floor = sum(
+        max(floors[nm][0] / peak_bw, floors[nm][1] / peak_tf) * 1e3
+        for nm in ("prep", "pfn_scatter", "raft_encode", "flow_6iter",
+                   "rpn", "shared_heads")
+    ) + max(floors["pfn_scatter"][0] / peak_bw,
+            floors["pfn_scatter"][1] / peak_tf) * 1e3
+    result = {
+        "metric": "roofline_fused_step",
+        "grid": g, "batch": b, "n_pts": n,
+        "peak_tf_s": args.peak_tf, "peak_gb_s": args.peak_gbs,
+        "stages": out_rows,
+        "stage_sum_measured_ms": round(total_meas, 2),
+        "stage_sum_floor_ms": round(total_floor, 2),
+        "x_floor_overall": round(total_meas / total_floor, 2)
+        if total_floor else None,
+    }
+    print(json.dumps(result))
+    art = Path("docs/artifacts")
+    if art.is_dir() and on_tpu:
+        with open(art / "roofline_r4.json", "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,8 @@ class BoxLearner(nn.Module):
         gt_boxes: Optional[Boxes] = None,
         train: bool = False,
         prepared=None,  # shared pillar prep (prepare_pillar_inputs)
+        pillar_image=None,  # (img, occ) from fused_scatter_images
+        point_feats_only: bool = False,
     ) -> Tuple[Boxes, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Any]:
         if self.network == "echo_gt":
             # debug network returning ground truth (simple_net.py:78-82)
@@ -72,8 +74,12 @@ class BoxLearner(nn.Module):
             aux["heatmap"] = tf_aux["dense_heatmap"]
             aux["layer_maps"] = tf_aux["layer_maps"]
             aux["query_heatmap_score"] = tf_aux["query_heatmap_score"]
+        elif point_feats_only:
+            return net(points, valid, train=train, prepared=prepared,
+                       point_feats_only=True)
         else:
-            raw_maps, occ = net(points, valid, train=train, prepared=prepared)
+            raw_maps, occ = net(points, valid, train=train,
+                                prepared=prepared, pillar_image=pillar_image)
         aux["occupancy"] = occ
         activated = apply_activations(raw_maps, self.box_cfg)
         decoded = decode_box_maps(activated, self.box_cfg, self.bev)

@@ -182,10 +182,20 @@ class CenterPointNet(nn.Module):
         return 4 if self.use_baseline_parameters else 8
 
     @nn.compact
-    def __call__(self, points, valid, train: bool = False, prepared=None):
-        img, occ = PillarEncoder(
-            self.bev, num_channels=self.hid_dim, name="pfn"
-        )(points, valid, train=train, prepared=prepared)
+    def __call__(
+        self, points, valid, train: bool = False, prepared=None,
+        pillar_image=None, point_feats_only: bool = False,
+    ):
+        pfn = PillarEncoder(self.bev, num_channels=self.hid_dim, name="pfn")
+        if point_feats_only:
+            # pre-scatter per-point features for the fused-scatter step
+            # (pillar_encoder.fused_scatter_images)
+            return pfn.point_feats(points, valid, train=train,
+                                   prepared=prepared)
+        if pillar_image is not None:
+            img, occ = pillar_image
+        else:
+            img, occ = pfn(points, valid, train=train, prepared=prepared)
         if self.use_baseline_parameters:
             rpn = RPN(dtype=self.dtype, name="rpn")
             head_stride = 1

@@ -155,13 +155,55 @@ class PillarEncoder(nn.Module):
     reference's 64-channel config (pcl_to_feature_grid.py:40-47). Pass
     `prepared` (from prepare_pillar_inputs) to skip the shared input prep
     when several encoders consume the same cloud.
+
+    `point_feats` exposes the pre-scatter per-point features so several
+    encoders over the SAME cloud can share ONE scatter kernel call via
+    `fused_scatter_images` (the [tile, K] x [K, C] one-hot matmuls pad C
+    to 128 lanes, so scattering two 64-channel encoders together costs
+    the same as one — see benchmarks/scatter_probe.py).
     """
 
     setup_bev: BevSetup
     num_channels: int = 64
     z_cutoff: float = 5.0
 
-    @nn.compact
+    def setup(self):
+        self.pfn_linear = nn.Dense(self.num_channels, use_bias=False)
+        self.pfn_bn = MaskedBatchNorm()
+
+    def _check_prepared(self, prepared):
+        bev = self.setup_bev
+        if prepared is None:
+            return None
+        if isinstance(prepared, PreparedPillars):
+            assert prepared.grid_size == tuple(bev.grid_size), (
+                f"shared pillar prep was computed for grid "
+                f"{prepared.grid_size}, encoder expects {tuple(bev.grid_size)}"
+            )
+            assert prepared.z_cutoff == float(self.z_cutoff), (
+                f"shared pillar prep used z_cutoff={prepared.z_cutoff}, "
+                f"encoder expects {self.z_cutoff}"
+            )
+        return prepared
+
+    def point_feats(
+        self,
+        points: jnp.ndarray,
+        valid: jnp.ndarray,
+        train: bool = False,
+        prepared=None,
+    ):
+        """Pre-scatter per-point features: (x [B, N, C], prepared)."""
+        prepared = self._check_prepared(prepared)
+        if prepared is None:
+            prepared = prepare_pillar_inputs(
+                points, valid, self.setup_bev, z_cutoff=self.z_cutoff
+            )
+        feats, _, in_pillar_s = prepared[:3]
+        x = self.pfn_linear(feats)
+        x = self.pfn_bn(x, in_pillar_s, train)
+        return nn.relu(x), prepared
+
     def __call__(
         self,
         points: jnp.ndarray,
@@ -173,19 +215,9 @@ class PillarEncoder(nn.Module):
         h, w = bev.grid_size
         nc = bev.num_cells
 
-        if prepared is None:
-            prepared = prepare_pillar_inputs(
-                points, valid, bev, z_cutoff=self.z_cutoff
-            )
-        elif isinstance(prepared, PreparedPillars):
-            assert prepared.grid_size == tuple(bev.grid_size), (
-                f"shared pillar prep was computed for grid "
-                f"{prepared.grid_size}, encoder expects {tuple(bev.grid_size)}"
-            )
-            assert prepared.z_cutoff == float(self.z_cutoff), (
-                f"shared pillar prep used z_cutoff={prepared.z_cutoff}, "
-                f"encoder expects {self.z_cutoff}"
-            )
+        x, prepared = self.point_feats(
+            points, valid, train=train, prepared=prepared
+        )
         feats, cell_s, in_pillar_s = prepared[:3]
 
         from liso_tpu.ops.grid_scatter_pallas import (
@@ -193,10 +225,6 @@ class PillarEncoder(nn.Module):
         )
 
         on_tpu = use_pallas_grid_ops()
-
-        x = nn.Dense(self.num_channels, use_bias=False, name="pfn_linear")(feats)
-        x = MaskedBatchNorm(name="pfn_bn")(x, in_pillar_s, train)
-        x = nn.relu(x)
 
         if on_tpu:
             # one kernel call: channel 64 carries occupancy (max of ones);
@@ -233,6 +261,67 @@ class PillarEncoder(nn.Module):
         cnt_grid = jax.vmap(per_sample_cnt)(in_pillar_s, cell_s)
         occ = (cnt_grid > 0).astype(jnp.float32).reshape(-1, h, w, 1)
         return img, occ
+
+
+def fused_scatter_images(xs, prepared, bev: BevSetup):
+    """Scatter SEVERAL encoders' per-point features (same cloud, same
+    prep) to dense BEV images with ONE kernel call.
+
+    xs: list of [B, N, Ci] point features (from PillarEncoder.point_feats
+    with a shared `prepared`). Returns (list of [B, H, W, Ci] images,
+    occupancy [B, H, W, 1]).
+
+    The one-hot scatter matmul pads channels to 128 lanes, so a fused
+    C=sum(Ci)=128 call costs the same as one C=65 call — halving the
+    scatter cost of the fused SLIM+detector step (the reference runs mmcv
+    Voxelization+scatter once per network, pcl_to_feature_grid.py:24-54).
+    Occupancy is computed by the scalar-channel scatter kernel (appending
+    it to the fused features would pad 129 -> 256 lanes); consumers that
+    drop `occ` get it DCE'd by XLA.
+    """
+    from liso_tpu.ops.grid_scatter_pallas import (
+        grid_reduce, use_pallas_grid_ops,
+    )
+
+    h, w = bev.grid_size
+    nc = bev.num_cells
+    feats_, cell_s, in_pillar_s = prepared[:3]
+    b = cell_s.shape[0]
+    sizes = [x.shape[-1] for x in xs]
+
+    if use_pallas_grid_ops():
+        xcat = jnp.concatenate(xs, axis=-1).astype(jnp.bfloat16)
+        g = grid_reduce(xcat, cell_s, nc, "max", False, False)
+        ones = in_pillar_s[..., None].astype(jnp.bfloat16)
+        cnt = grid_reduce(ones, cell_s, nc, "add", False, False)
+        occ = (cnt > 0.5).astype(jnp.float32).reshape(b, h, w, 1)
+    else:
+        xcat = jnp.concatenate(xs, axis=-1)
+        xcat = jnp.where(in_pillar_s[..., None], xcat, -jnp.inf)
+
+        def per_sample_max(xi, ci):
+            gi = jax.ops.segment_max(
+                xi, ci, num_segments=nc + 1, indices_are_sorted=True
+            )[:nc]
+            return jnp.where(jnp.isfinite(gi), gi, 0.0)
+
+        g = jax.vmap(per_sample_max)(xcat, cell_s)
+
+        def per_sample_cnt(inp_i, ci):
+            return jax.ops.segment_sum(
+                inp_i.astype(jnp.float32), ci, num_segments=nc + 1,
+                indices_are_sorted=True,
+            )[:nc]
+
+        cnt = jax.vmap(per_sample_cnt)(in_pillar_s, cell_s)
+        occ = (cnt > 0).astype(jnp.float32).reshape(b, h, w, 1)
+
+    imgs = []
+    off = 0
+    for ci in sizes:
+        imgs.append(g[..., off : off + ci].reshape(b, h, w, ci))
+        off += ci
+    return imgs, occ
 
 
 def pillar_coords(points: jnp.ndarray, valid: jnp.ndarray, bev: BevSetup):

@@ -239,17 +239,35 @@ class SlimModel(nn.Module):
             dtype=self.compute_dtype,
         )
 
-    def encode_frame(self, pcl, valid, train: bool = False, prepared=None):
+    def encode_frame(
+        self, pcl, valid, train: bool = False, prepared=None,
+        pillar_image=None,
+    ):
         """Streaming entry: encode ONE frame once; callers cache the
         returned (fmap, cnet) across steps (apply with
         method=SlimModel.encode_frame). `prepared` (from
         pillar_encoder.prepare_pillar_inputs) skips the parameter-free
-        pillar prep when the detector shares the same cloud."""
-        img, occ = self.pillar_encoder(
-            pcl, valid, train=train, prepared=prepared
-        )
+        pillar prep when the detector shares the same cloud;
+        `pillar_image` = (img, occ) skips the pillar encoder entirely
+        (the fused-step caller scatters SLIM's and the detector's point
+        features in one kernel call, pillar_encoder.fused_scatter_images)."""
+        if pillar_image is not None:
+            img, occ = pillar_image
+        else:
+            img, occ = self.pillar_encoder(
+                pcl, valid, train=train, prepared=prepared
+            )
         fmap, cn = self.raft.encode(img)
         return fmap, cn, occ[..., 0]
+
+    def pillar_point_feats(
+        self, pcl, valid, train: bool = False, prepared=None
+    ):
+        """Pre-scatter per-point PFN features (x [B, N, C], prepared) for
+        fused multi-encoder scattering (pillar_encoder.fused_scatter_images)."""
+        return self.pillar_encoder.point_feats(
+            pcl, valid, train=train, prepared=prepared
+        )
 
     def flow_from_features(self, fmap0, cn0, fmap1, upsample_all=False):
         """Streaming entry: flow frame0 -> frame1 from cached features."""

@@ -48,7 +48,7 @@ _NEG = -3.0e38  # -inf stand-in that survives fp32 matmul masking
 def _pick_tile(num_cells: int) -> int:
     import os
 
-    t = int(os.environ.get("LISO_GRID_TILE", "4096"))
+    t = int(os.environ.get("LISO_GRID_TILE", "2048"))
     while num_cells % t != 0 and t > 8:
         t //= 2
     return t

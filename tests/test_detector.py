@@ -180,3 +180,56 @@ def test_sep_head_fusion_is_exact():
             np.asarray(out[name]), np.asarray(z), atol=2e-5,
             err_msg=f"fused SepHead diverged from per-head math for {name}",
         )
+
+
+def test_fused_scatter_matches_per_encoder_path():
+    """fused_scatter_images (one C=128 scatter for SLIM + detector) is
+    identical to each encoder scattering its own features: same images,
+    same occupancy, same downstream boxes (bench.py's fused_streaming)."""
+    from liso_tpu.models.box_learner import BoxLearner
+    from liso_tpu.models.pillar_encoder import (
+        fused_scatter_images, prepare_pillar_inputs,
+    )
+    from liso_tpu.models.slim import SlimModel
+
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.uniform(-18, 18, (2, 256, 4)).astype(np.float32))
+    valid = jnp.asarray(rng.rand(2, 256) > 0.1)
+
+    slim = SlimModel(bev=BEV, num_iters=2)
+    det = BoxLearner(BEV, network="centerpoint")
+    svars = slim.init(jax.random.PRNGKey(0), pts, valid, pts, valid)
+    dvars = det.init(jax.random.PRNGKey(1), pts, valid)
+
+    # unfused: each encoder scatters its own image
+    fmap_a, cn_a, occ_a = slim.apply(
+        svars, pts, valid, method=SlimModel.encode_frame
+    )
+    boxes_a, _, _, aux_a = det.apply(dvars, pts, valid)
+
+    # fused: one prep, one scatter call, images fed back in
+    prepared = prepare_pillar_inputs(pts, valid, BEV)
+    x_s, _ = slim.apply(
+        svars, pts, valid, method=SlimModel.pillar_point_feats,
+        prepared=prepared,
+    )
+    x_d, _ = det.apply(dvars, pts, valid, point_feats_only=True,
+                       prepared=prepared)
+    (img_s, img_d), occ = fused_scatter_images([x_s, x_d], prepared, BEV)
+    fmap_b, cn_b, occ_b = slim.apply(
+        svars, pts, valid, method=SlimModel.encode_frame,
+        pillar_image=(img_s, occ),
+    )
+    boxes_b, _, _, aux_b = det.apply(dvars, pts, valid,
+                                     pillar_image=(img_d, occ))
+
+    np.testing.assert_allclose(
+        np.asarray(fmap_a), np.asarray(fmap_b), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+    np.testing.assert_allclose(
+        np.asarray(boxes_a.pos), np.asarray(boxes_b.pos), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(aux_a["occupancy"]), np.asarray(aux_b["occupancy"])
+    )

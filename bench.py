@@ -181,15 +181,13 @@ def main():
         Chunk count is data-dependent; the contiguous sorted ranges bound
         it by n/K + n_tiles per sample, which uniform clouds saturate.
         """
-        hw8 = (grid // 8) ** 2
-        p_total = sum((grid // 8 // 2**lv) ** 2 for lv in range(4))
-        corr = 2 * batch * hw8 * p_total * 128 * 6  # 6 RAFT iters, C=128
-        import os as _os
+        from liso_tpu.ops.corr_fused_pallas import corr_analytic_flops
+        from liso_tpu.ops.grid_scatter_pallas import scatter_analytic_flops
 
-        tile, k = int(_os.environ.get("LISO_GRID_TILE", "2048")), 512
-        n_tiles = (grid * grid) // tile
-        chunks = n_pts // k + n_tiles
-        scatter = 2 * batch * chunks * tile * k * 128  # fused, C=128
+        c8 = grid // 8
+        corr = batch * 6 * corr_analytic_flops(c8, c8)  # 6 RAFT iters
+        # ONE fused C=128 scatter per step (both encoders ride one call)
+        scatter = batch * scatter_analytic_flops(grid * grid, n_pts, 128)
         return corr + scatter
 
     def step_time():

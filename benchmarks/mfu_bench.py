@@ -128,23 +128,31 @@ def bench_fused_forward(grid, n_pts, batch, iters, on_tpu):
     dt, flops, bytes_ = _slope_compiled(
         make_run, (pts0, valid, pts1, valid), lo, hi, single=single
     )
-    flops += pallas_fwd_flops(batch, grid, n_pts)
+    # the fwd step runs: one SLIM encode_frame (C=65 scatter), one flow
+    # pass (6 corr lookups), and one detector encode (a second C=65
+    # scatter — this bench path does not share the fused scatter)
+    flops += pallas_corr_flops(batch, grid)
+    flops += 2 * pallas_scatter_flops(batch, grid, n_pts, 65)
     return flops, bytes_, dt
 
 
-def pallas_fwd_flops(batch, grid, n_pts):
-    """MXU FLOPs inside pallas kernels on the fused forward path (opaque
-    to XLA cost analysis): the fused corr lookup (6 RAFT iterations of
-    [M, C] x [C, P_total] row recompute) and the one-hot grid scatter-max
-    for both pillar encoders. Mirrors bench.py's accounting."""
-    hw8 = (grid // 8) ** 2
-    p_total = sum((grid // 8 // 2**lv) ** 2 for lv in range(4))
-    corr = 2 * batch * hw8 * p_total * 128 * 6
-    tile, k = 4096, 512
-    n_tiles = (grid * grid) // tile
-    chunks = n_pts // k + n_tiles
-    scatter = 2 * batch * chunks * tile * k * 65 * 2
-    return corr + scatter
+def pallas_corr_flops(batch, grid, raft_iters=6):
+    """MXU FLOPs of the fused corr lookup kernel for ONE flow pass
+    (raft_iters window lookups). Geometry comes from the kernel module
+    itself (ops/corr_fused_pallas.corr_analytic_flops) so the accounting
+    can never drift from the kernel's actual tiling."""
+    from liso_tpu.ops.corr_fused_pallas import corr_analytic_flops
+
+    c8 = grid // 8
+    return batch * raft_iters * corr_analytic_flops(c8, c8)
+
+
+def pallas_scatter_flops(batch, grid, n_pts, channels):
+    """MXU FLOPs of ONE grid scatter call (per-encoder C=65, or fused
+    C=128). Tile selection comes from the kernel module itself."""
+    from liso_tpu.ops.grid_scatter_pallas import scatter_analytic_flops
+
+    return batch * scatter_analytic_flops(grid * grid, n_pts, channels)
 
 
 def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
@@ -192,12 +200,16 @@ def bench_slim_train(grid, n_pts, batch, iters, on_tpu):
     dt, flops, bytes_ = _slope_compiled(
         make_run, (state, sample), lo, hi, single="lo"
     )
-    # pallas accounting: the fwd corr/scatter kernels run for BOTH flow
-    # directions, and each has a backward kernel of ~2x the fwd matmul
-    # work (corr bwd: two MXU matmuls vs one; scatter bwd: gather +
-    # winner-mask gather) => ~2 directions x 3x fwd. The kNN loss kernel
-    # is NOT counted (data-dependent band pruning) — a lower bound.
-    flops += 2 * 3 * pallas_fwd_flops(batch, grid, n_pts)
+    # pallas accounting, per kernel and per actual run count in the SLIM
+    # train step (NO detector runs here):
+    #   corr — one flow pass per direction (fw + bw), backward kernel is
+    #   ~2x the fwd matmul work (two MXU matmuls vs one) => 2 dirs x 3;
+    #   scatter — both frames are encoded (2 C=65 calls), backward is
+    #   ~2x fwd (gather + winner-mask gather) => 2 encodes x 3.
+    # The kNN loss kernel is NOT counted (data-dependent band pruning) —
+    # a lower bound.
+    flops += 2 * 3 * pallas_corr_flops(batch, grid)
+    flops += 2 * 3 * pallas_scatter_flops(batch, grid, n_pts, 65)
     return flops, bytes_, dt
 
 

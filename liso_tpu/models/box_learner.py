@@ -69,6 +69,15 @@ class BoxLearner(nn.Module):
         else:
             raise NotImplementedError(self.network)
         aux = {}
+        if self.network != "centerpoint" and (
+            point_feats_only or pillar_image is not None
+        ):
+            # only the centerpoint path consumes these; failing loudly
+            # beats silently re-encoding the cloud / returning a 4-tuple
+            raise NotImplementedError(
+                "point_feats_only/pillar_image require network='centerpoint'"
+                f", got {self.network!r}"
+            )
         if self.network == "transfusion":
             raw_maps, occ, tf_aux = net(points, valid, train=train)
             aux["heatmap"] = tf_aux["dense_heatmap"]

@@ -55,6 +55,39 @@ class CorrLevels(NamedTuple):
 _ROW_PAD = 8  # f1cat row padding (fp32 sublane tile)
 
 
+def level_geometry(h: int, w: int, num_levels: int) -> CorrLevels:
+    """Static level-stack geometry for a coarse fmap of (h, w): the same
+    shapes/offsets pool_f1_levels produces (pooling halts once a level
+    would drop below 4px). Shared by the kernel and by analytic-FLOPs
+    accounting so the two can never drift."""
+    shapes: List[Tuple[int, int]] = []
+    hk, wk = h, w
+    for _ in range(num_levels):
+        shapes.append((hk, wk))
+        if min(hk, wk) < 4:
+            break
+        hk, wk = hk // 2, wk // 2
+    offsets = []
+    off = 0
+    for sh, sw in shapes:
+        offsets.append(off)
+        off += sh * sw
+    total = -(-off // _ROW_PAD) * _ROW_PAD
+    return CorrLevels(tuple(shapes), tuple(offsets), total)
+
+
+def corr_analytic_flops(
+    h: int, w: int, num_levels: int = 4, c: int = 128
+) -> int:
+    """Executed MXU FLOPs for ONE fused corr window lookup call on a
+    (h, w) coarse grid: every pixel tile recomputes corrT = f1cat @
+    f0_tile^T, i.e. 2 * M_padded * C * HW. The kernels are pallas custom
+    calls, opaque to XLA cost analysis — benchmarks add this analytically
+    (bench.py, benchmarks/mfu_bench.py)."""
+    geo = level_geometry(h, w, num_levels)
+    return 2 * h * w * geo.total * c
+
+
 def pool_f1_levels(fmap1: jnp.ndarray, num_levels: int):
     """The reference's volume 2x2-avg-pooling chain applied to fmap1 itself
     (corr is linear in fmap1 — see models/raft.build_corr_pyramid). Returns
@@ -62,26 +95,21 @@ def pool_f1_levels(fmap1: jnp.ndarray, num_levels: int):
     from flax import linen as nn
 
     b, h, w, c = fmap1.shape
-    shapes: List[Tuple[int, int]] = []
+    levels = level_geometry(h, w, num_levels)
     flats = []
     f1l = fmap1
-    for _ in range(num_levels):
-        hk, wk = f1l.shape[1:3]
-        shapes.append((hk, wk))
+    for i, (hk, wk) in enumerate(levels.shapes):
+        assert f1l.shape[1:3] == (hk, wk), (f1l.shape, levels)
         flats.append(f1l.reshape(b, hk * wk, c))
-        if min(hk, wk) < 4:
-            break  # tiny test grids: deeper levels would be empty
-        f1l = nn.avg_pool(f1l, window_shape=(2, 2), strides=(2, 2))
-    offsets = []
-    off = 0
-    for hk, wk in shapes:
-        offsets.append(off)
-        off += hk * wk
-    total = -(-off // _ROW_PAD) * _ROW_PAD
+        if i + 1 < len(levels.shapes):
+            f1l = nn.avg_pool(f1l, window_shape=(2, 2), strides=(2, 2))
+    off = levels.offsets[-1] + (
+        levels.shapes[-1][0] * levels.shapes[-1][1]
+    )
     f1cat = jnp.concatenate(flats, axis=1).astype(jnp.bfloat16)
-    if total > off:
-        f1cat = jnp.pad(f1cat, ((0, 0), (0, total - off), (0, 0)))
-    return f1cat, CorrLevels(tuple(shapes), tuple(offsets), total)
+    if levels.total > off:
+        f1cat = jnp.pad(f1cat, ((0, 0), (0, levels.total - off), (0, 0)))
+    return f1cat, levels
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,23 @@ def _pick_tile(num_cells: int) -> int:
     return t
 
 
+def scatter_analytic_flops(num_cells: int, n_pts: int, channels: int) -> int:
+    """Executed MXU FLOPs upper bound for ONE grid_reduce/scatter call,
+    PER BATCH ELEMENT (the kernel grid is (batch, tiles); multiply by the
+    batch size at the call site).
+    Per visited (chunk, tile) pair the kernel runs a one-hot
+    [tile, _K] x [_K, lanes] matmul; the chunk count is data-dependent but
+    contiguous sorted ranges bound it by n_pts/_K + n_tiles (uniform
+    clouds saturate the bound). Channels execute at MXU lane granularity
+    (128), so a C=65 call costs the same as C=128. Uses the kernel's own
+    _pick_tile so benchmark accounting can never drift from the actual
+    tiling (bench.py, benchmarks/mfu_bench.py import this)."""
+    tile = _pick_tile(num_cells)
+    lanes = -(-channels // _SUB) * _SUB
+    chunks = n_pts // _K + num_cells // tile
+    return 2 * chunks * tile * _K * lanes
+
+
 def _reduce_kernel(starts_ref, cells_ref, feats_ref, out_ref, *, op, tile, prec):
     ib = pl.program_id(0)
     it = pl.program_id(1)

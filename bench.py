@@ -245,9 +245,13 @@ def main():
                 # result bytes, so an UPPER bound on HBM traffic (fusion
                 # keeps much of it in registers/VMEM) — the roofline
                 # denominator uses it as the conservative proxy
-                "xla_op_gb_per_step": round(bytes_per_step / 1e9, 3),
-                "op_bytes_gb_s": round(gb_s, 1),
-                "op_bytes_vs_hbm_peak_pct": round(
+                "xla_op_gb_per_step_upper_bound": round(
+                    bytes_per_step / 1e9, 3
+                ),
+                "op_bytes_upper_bound_gb_s": round(gb_s, 1),
+                # NOTE: op-level bytes double-count fused/cached reads, so
+                # this can exceed 100% — it is NOT achieved HBM bandwidth
+                "op_bytes_upper_bound_vs_hbm_peak_pct": round(
                     100 * gb_s / args.peak_gbs, 1
                 ),
             }

@@ -147,6 +147,8 @@ class LidarDataset:
         self.pred_flow_path = Path(pred_flow_path) if pred_flow_path else None
         self.mined_boxes_db = mined_boxes_db
         self.augmentation = augmentation
+        self.seed = int(seed)
+        self.epoch = 0  # bumped by the loader each pass (pipeline.py)
         self.rng = np.random.RandomState(seed)
         # per-sample memo for lazily computed odometry / ground labels
         # (the reference caches its on-the-fly KISS-ICP poses + JCP labels
@@ -163,6 +165,22 @@ class LidarDataset:
     def __len__(self):
         return len(self.sample_files)
 
+    def index_rng(self, idx: int, salt: int = 0) -> np.random.RandomState:
+        """Deterministic per-(seed, epoch, index) RNG. Augmentation and
+        skip-frame draws become a pure function of WHICH sample is built,
+        not of which worker builds it — so thread pools, fork pools, and
+        lock-step multi-host replicas all produce bit-identical samples
+        in any assignment order. (The reference PID-reseeds each fork
+        instead, torch_dataset_commons.py:74, which is irreproducible by
+        design and would desynchronize replicated DP hosts.)"""
+        mix = (
+            self.seed * 1000003
+            + int(self.epoch) * 7919
+            + int(idx) * 2654435761
+            + salt * 97
+        ) % (2**31 - 1)
+        return np.random.RandomState(mix)
+
     # -- hooks ----------------------------------------------------------
     def load_sample_dict(self, idx: int) -> dict:
         return np.load(self.sample_files[idx], allow_pickle=True).item()
@@ -177,7 +195,7 @@ class LidarDataset:
         raise NotImplementedError
 
     # -- processing -----------------------------------------------------
-    def select_time_keys(self) -> Tuple[str, str, float]:
+    def select_time_keys(self, rng=None) -> Tuple[str, str, float]:
         """torch_dataset_commons.select_time_keys: skip-frame curriculum."""
         mode = self.cfg.use_skip_frames
         if mode == "never":
@@ -185,7 +203,7 @@ class LidarDataset:
         elif mode == "only":
             skip = True
         else:
-            skip = bool(self.rng.rand() < 0.5)
+            skip = bool((rng or self.rng).rand() < 0.5)
         if skip:
             return "t0", "t2", 2.0 * self.cfg.time_delta_s
         return "t0", "t1", self.cfg.time_delta_s
@@ -361,14 +379,14 @@ class LidarDataset:
 
     def __getitem__(self, idx: int) -> HostSample:
         content = self._load_content(idx)
-        a, b, dt = self.select_time_keys()
+        a, b, dt = self.select_time_keys(self.index_rng(idx, salt=1))
         return self._build(content, idx, a, b, dt)
 
     def _build(self, content: dict, idx: int, a: str, b: str, dt: float) -> HostSample:
         sample_id = str(content.get("name", Path(self.sample_files[idx]).stem))
 
         if self.augmentation is not None:
-            content = self.augmentation(content, self.rng)
+            content = self.augmentation(content, self.index_rng(idx))
 
         frame_a, keep_a = self.build_frame(content, a)
         frame_b, keep_b = self.build_frame(content, b)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import multiprocessing as mp
 import queue
 import threading
+from functools import partial
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
@@ -27,14 +28,15 @@ _WORKER_DS: Optional[LidarDataset] = None
 def _init_worker(ds):
     global _WORKER_DS
     _WORKER_DS = ds
-    # reseed per worker or every fork replays the same augmentations
-    # (reference worker_init_fn, torch_dataset_commons.py:74)
-    import os
+    # NOTE: no PID reseeding (the reference's worker_init_fn pattern,
+    # torch_dataset_commons.py:74): per-sample randomness is a pure
+    # function of (seed, epoch, idx) via LidarDataset.index_rng, so every
+    # worker builds identical samples regardless of assignment — required
+    # for lock-step multi-host DP and reproducibility.
 
-    ds.rng = np.random.RandomState((os.getpid() * 2654435761) % (2**31))
 
-
-def _worker_get(idx: int):
+def _worker_get(idx: int, epoch: int = 0):
+    _WORKER_DS.epoch = epoch
     return _WORKER_DS[int(idx)]
 
 
@@ -81,6 +83,7 @@ class Prefetcher:
         self.prefetch = prefetch
         self.device_put = device_put or (lambda x: x)
         self.drop_last = drop_last
+        self._epoch = 0  # bumped per __iter__: varies augmentations
 
     def _epoch_indices(self):
         idx = np.arange(len(self.dataset))
@@ -91,17 +94,24 @@ class Prefetcher:
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        epoch = self._epoch
+        self._epoch += 1
 
         def produce():
             idx = self._epoch_indices()
             bs = self.batch_size
             n_full = len(idx) // bs if self.drop_last else -(-len(idx) // bs)
+            self.dataset.epoch = epoch  # thread pools share the dataset
             for b in range(n_full):
                 if stop.is_set():
                     return
                 chunk = idx[b * bs : (b + 1) * bs]
                 if self.use_processes:
-                    samples = list(self.pool.map(_worker_get, chunk))
+                    samples = list(
+                        self.pool.map(
+                            partial(_worker_get, epoch=epoch), chunk
+                        )
+                    )
                 else:
                     samples = list(
                         self.pool.map(self.dataset.__getitem__, chunk)

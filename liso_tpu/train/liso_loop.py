@@ -479,6 +479,55 @@ class LisoSelfTraining:
             f"sequences in {time.time() - t0:.0f}s"
         )
 
+    def _assert_replicas_in_sync(self, step: int,
+                                 poll_s: float = 1.0,
+                                 timeout_s: float = 600.0) -> None:
+        """Multi-host training is LOCK-STEP replicated DP (SURVEY §2.9):
+        every host trains the same model on identical batches (merged DBs,
+        seed-deterministic loader order, per-(seed, epoch, idx) sample
+        RNG — data/dataset.index_rng), so replica params must stay
+        bit-identical. This rendezvous asserts it: each worker publishes a
+        sha256 digest of its flattened params under the shared log_dir and
+        compares against every peer's. A mismatch means a nondeterminism
+        bug (divergent replicas would silently change mining semantics —
+        the next round's merged DB would mix boxes from different
+        detectors)."""
+        if self.world_size <= 1 or self.state is None:
+            return
+        import hashlib
+
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(self.state.params):
+            h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+        digest = h.hexdigest()
+        out = self.log_dir / f"param_sync_step_{step}"
+        out.mkdir(parents=True, exist_ok=True)
+        mine_f = out / f"digest_worker{self.worker_id}"
+        mine_f.write_text(digest)
+        deadline = time.time() + timeout_s
+        peers = {}
+        missing = set(range(self.world_size)) - {self.worker_id}
+        while missing:
+            for i in list(missing):
+                f = out / f"digest_worker{i}"
+                if f.exists():
+                    peers[i] = f.read_text()
+                    missing.discard(i)
+            if missing:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"param sync at step {step}: workers "
+                        f"{sorted(missing)} never published digests"
+                    )
+                time.sleep(poll_s)
+        bad = {i: d for i, d in peers.items() if d != digest}
+        assert not bad, (
+            f"replica divergence at step {step}: worker {self.worker_id} "
+            f"params digest {digest[:12]} != workers "
+            f"{ {i: d[:12] for i, d in bad.items()} } — lock-step DP "
+            f"requires bit-identical replicas"
+        )
+
     def _gather_worker_dbs(self, out: Path, world_size: int,
                            poll_s: float = 2.0, timeout_s: float = 3600.0):
         """Wait for every worker's `.done_worker{i}` marker under `out`,
@@ -647,6 +696,9 @@ class LisoSelfTraining:
 
         for step in range(start_step, total_steps):
             if step % steps_per_round == 0:
+                # round boundary rendezvous: replicas must agree BEFORE
+                # mining, or the merged DB mixes different detectors
+                self._assert_replicas_in_sync(step)
                 self.mine(dataset)
                 if self.mined_db is not None and self.val_dataset is not None:
                     val_loader = Prefetcher(
@@ -710,9 +762,10 @@ class LisoSelfTraining:
                 wt.add_scalar("dataloading_s", t_data, step)
                 wt.add_scalar("fwd_bwd_s", t_fwdbwd, step)
 
-            # multi-host: training is replicated (identical batches would
-            # need a sharded loader; DBs already merged), so only worker 0
-            # validates and checkpoints
+            # multi-host: training is LOCK-STEP replicated (identical
+            # merged DBs + seed-deterministic loader + per-index sample
+            # RNG => bit-identical replicas, asserted at round
+            # boundaries), so only worker 0 validates and checkpoints
             if (val_every and step > 0 and step % val_every == 0
                     and self.worker_id == 0):
                 self.validate(step, fast_test)
@@ -720,6 +773,7 @@ class LisoSelfTraining:
             if (save_every and step > 0 and step % save_every == 0
                     and self.worker_id == 0):
                 self.save(step)
+        self._assert_replicas_in_sync(total_steps)
         if self.state is not None and self.worker_id == 0:
             self.save(total_steps)
         return metrics_hist

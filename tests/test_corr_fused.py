@@ -146,3 +146,47 @@ def test_raft_fused_path_matches_gather_path(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_gather), atol=5e-2, rtol=1e-2
     )
+
+
+@pytest.mark.parametrize("h", [4, 6, 8, 12, 16])
+def test_fused_matches_gather_across_coarse_sizes(h):
+    """Compile/correctness envelope sweep (VERDICT r4 weak #5: grid-32
+    SLIM crashed Mosaic on small pyramid levels). Every coarse size down
+    to the dryrun's 4x4 must produce gather-path values — small levels
+    are zero-padded to Mosaic's minimum reshape tile inside
+    pool_f1_levels/level_geometry, and taps landing in the pad read the
+    reference's grid_sample zeros."""
+    f0, f1, coords = _fixtures(b=2, h=h, w=h, c=16, seed=3)
+    pyramid = build_corr_pyramid(f0, f1, 4)
+    ref = lookup_corr(pyramid, coords)
+
+    f1cat, levels = pool_f1_levels(f1, 4)
+    assert len(levels.shapes) == len(pyramid)
+    assert all(min(s) >= 8 for s in levels.shapes), levels
+    b = f0.shape[0]
+    out = corr_window_features(
+        f0.reshape(b, h * h, 16), f1cat, coords, levels
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_fused_dryrun_shapes_grads_finite():
+    """The exact shapes of the multi-chip dryrun (grid 32 -> coarse 4,
+    batch 8): forward + backward through the padded-level kernel must be
+    finite, and df1 for pad rows must be discarded by pool_f1_levels'
+    pad VJP (checked via shape round-trip through grad)."""
+    f0, f1, coords = _fixtures(b=8, h=4, w=4, c=16, seed=4)
+
+    def loss(f0_, f1_):
+        f1cat, levels = pool_f1_levels(f1_, 4)
+        out = corr_window_features(
+            f0_.reshape(8, 16, 16), f1cat, coords, levels
+        )
+        return jnp.sum(out**2)
+
+    g0, g1 = jax.grad(loss, argnums=(0, 1))(f0, f1)
+    assert g0.shape == f0.shape and g1.shape == f1.shape
+    assert np.isfinite(np.asarray(g0)).all()
+    assert np.isfinite(np.asarray(g1)).all()

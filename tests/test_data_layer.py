@@ -313,3 +313,51 @@ def test_lazy_icp_odom_and_jcp_ground_fallbacks():
     assert recall > 0.7, recall
     sample = ds[0]
     assert np.isfinite(sample.frame_t0.pcl).all()
+
+
+def test_sample_rng_is_worker_assignment_invariant():
+    """Lock-step multi-host DP (SURVEY 2.9) requires every replica to
+    build bit-identical batches: per-sample randomness must be a pure
+    function of (seed, epoch, idx), never of which worker/thread builds
+    the sample (the reference PID-reseeds forks instead,
+    torch_dataset_commons.py:74). Two loaders with different worker
+    counts over the same dataset must yield identical epochs, and
+    augmentation draws must differ across epochs."""
+    import numpy as np
+
+    from liso_tpu.data.dataset import DataCfg
+    from liso_tpu.data.pipeline import Prefetcher
+    from liso_tpu.data.synthetic import SyntheticDataset
+    from liso_tpu.ops.bev import BevSetup
+
+    cfg = DataCfg(
+        bev=BevSetup((40.0, 40.0), (64, 64)), n_max=2048, m_max=4096,
+        use_skip_frames="sometimes",
+    )
+    mk = dict(n_frames=8, n_objects=2, n_points=1024, cache_content=True,
+              seed=0)
+
+    def aug(content, rng):
+        out = dict(content)
+        out["pcl_t0"] = np.asarray(content["pcl_t0"]) + 0.01 * rng.randn(4)
+        return out
+
+    def epoch_arrays(num_workers):
+        ds = SyntheticDataset(cfg, augmentation=aug, **mk)
+        loader = Prefetcher(
+            ds, batch_size=2, num_workers=num_workers, shuffle=True, seed=0,
+        )
+        return [np.asarray(b["pcl_t0"]) for b in loader]
+
+    a = epoch_arrays(num_workers=0)
+    b = epoch_arrays(num_workers=4)
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    # epochs must differ (the loader bumps dataset.epoch per pass)
+    ds = SyntheticDataset(cfg, augmentation=aug, **mk)
+    loader = Prefetcher(ds, batch_size=2, num_workers=0, shuffle=False)
+    e0 = [np.asarray(b["pcl_t0"]) for b in loader]
+    e1 = [np.asarray(b["pcl_t0"]) for b in loader]
+    assert any(not np.array_equal(x, y) for x, y in zip(e0, e1))

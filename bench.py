@@ -24,13 +24,14 @@ def main():
                     help="override BEV grid (e.g. 920 for the reference's "
                     "bev_120m_920 operating point)")
     ap.add_argument("--batch", type=int, default=0)
-    ap.add_argument("--peak-tf", type=float, default=170.0,
+    ap.add_argument("--peak-tf", type=float, default=177.0,
                     help="bf16 peak TFLOP/s for MFU accounting (this "
-                    "virtualized chip's measured envelope ~170; v5e spec "
+                    "virtualized chip's measured envelope ~177; v5e spec "
                     "197)")
-    ap.add_argument("--peak-gbs", type=float, default=157.0,
+    ap.add_argument("--peak-gbs", type=float, default=430.0,
                     help="HBM GB/s peak for bandwidth accounting "
-                    "(virtualized envelope ~157; v5e spec 819)")
+                    "(virtualized envelope ~430 measured on 1 GB copy "
+                    "chains; v5e spec 819)")
     args = ap.parse_args()
 
     import jax

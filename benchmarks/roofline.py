@@ -15,9 +15,13 @@ stay conservative):
 measured/floor >> 1 for a stage = real headroom (latency- or
 occupancy-bound, not bandwidth-bound); ~1-1.5x = at the wall, stop
 optimizing blind. Envelope defaults are this host's measured numbers
-(docs/STATUS.md round-2 probes): bf16 peak ~170 TF/s, HBM ~157 GB/s.
+(round-5 chained probes, docs/STATUS.md: 1 GB copy chains sustain
+~415-450 GB/s and an 8192^2 bf16 matmul chain 177 TF/s — the round-2
+probe's 157 GB/s was an artifact of host-side array init shipping data
+through the tunnel, and produced floors ABOVE measured times for rpn,
+VERDICT r4 weak 4).
 
-Prints a table + ONE JSON line; writes docs/artifacts/roofline_r4.json
+Prints a table + ONE JSON line; writes docs/artifacts/roofline_r5.json
 when run from the repo root.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/roofline.py
@@ -46,8 +50,8 @@ def conv_cost(b, h_in, cin, cout, k=3, stride=1, in_bytes=BF2, out_bytes=BF2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--peak-tf", type=float, default=170.0)
-    ap.add_argument("--peak-gbs", type=float, default=157.0)
+    ap.add_argument("--peak-tf", type=float, default=177.0)
+    ap.add_argument("--peak-gbs", type=float, default=430.0)
     ap.add_argument("--grid", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n", type=int, default=32768)
@@ -298,7 +302,7 @@ def main():
     print(json.dumps(result))
     art = Path("docs/artifacts")
     if art.is_dir() and on_tpu:
-        with open(art / "roofline_r4.json", "w") as f:
+        with open(art / "roofline_r5.json", "w") as f:
             json.dump(result, f, indent=1)
 
 

@@ -221,24 +221,20 @@ class PillarEncoder(nn.Module):
         feats, cell_s, in_pillar_s = prepared[:3]
 
         from liso_tpu.ops.grid_scatter_pallas import (
-            grid_reduce, use_pallas_grid_ops,
+            grid_reduce_with_occ, use_pallas_grid_ops,
         )
 
         on_tpu = use_pallas_grid_ops()
 
         if on_tpu:
-            # one kernel call: channel 64 carries occupancy (max of ones);
+            # one kernel call; occupancy rides the reduction's own one-hot
+            # masks (grid_reduce_with_occ) instead of a 65th channel.
             # exact=False: bf16 matmul passes — the image feeds bf16 convs
-            x65 = jnp.concatenate(
-                [x, jnp.ones_like(x[..., :1])], axis=-1
-            ).astype(jnp.bfloat16)
-            g = grid_reduce(x65, cell_s, nc, "max", False, False)
-            img = g[..., : self.num_channels].reshape(
-                -1, h, w, self.num_channels
+            g, occ_g = grid_reduce_with_occ(
+                x.astype(jnp.bfloat16), cell_s, nc, "max", False, False
             )
-            occ = (g[..., self.num_channels] > 0.5).astype(
-                jnp.float32
-            ).reshape(-1, h, w, 1)
+            img = g.reshape(-1, h, w, self.num_channels)
+            occ = occ_g.reshape(-1, h, w, 1)
             return img, occ
         else:
             x = jnp.where(in_pillar_s[..., None], x, -jnp.inf)
@@ -280,7 +276,7 @@ def fused_scatter_images(xs, prepared, bev: BevSetup):
     drop `occ` get it DCE'd by XLA.
     """
     from liso_tpu.ops.grid_scatter_pallas import (
-        grid_reduce, use_pallas_grid_ops,
+        grid_reduce_with_occ, use_pallas_grid_ops,
     )
 
     h, w = bev.grid_size
@@ -290,11 +286,13 @@ def fused_scatter_images(xs, prepared, bev: BevSetup):
     sizes = [x.shape[-1] for x in xs]
 
     if use_pallas_grid_ops():
+        # ONE kernel call for features AND occupancy: the occ grid rides
+        # the reduction's own one-hot masks (out-of-pillar points sit in
+        # the drop bucket and never match), replacing the previous second
+        # C=1 count kernel and its full mask rebuild
         xcat = jnp.concatenate(xs, axis=-1).astype(jnp.bfloat16)
-        g = grid_reduce(xcat, cell_s, nc, "max", False, False)
-        ones = in_pillar_s[..., None].astype(jnp.bfloat16)
-        cnt = grid_reduce(ones, cell_s, nc, "add", False, False)
-        occ = (cnt > 0.5).astype(jnp.float32).reshape(b, h, w, 1)
+        g, occ_g = grid_reduce_with_occ(xcat, cell_s, nc, "max", False, False)
+        occ = occ_g.reshape(b, h, w, 1)
     else:
         xcat = jnp.concatenate(xs, axis=-1)
         xcat = jnp.where(in_pillar_s[..., None], xcat, -jnp.inf)

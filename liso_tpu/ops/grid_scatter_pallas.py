@@ -33,6 +33,7 @@ adjoints; 'max' routes cotangents to per-(cell,channel) maxima by equality
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -40,7 +41,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_K = 512  # points per chunk (4 lane-rows of sorted cell ids)
+# points per chunk (lane-rows of sorted cell ids; must be a multiple of
+# _SUB). Smaller K cuts the nc*K term of the one-hot mask/matmul work AND
+# the K*log2(K) segmented-scan work per pair; 512 was the original tile.
+_K = int(os.environ.get("LISO_GRID_K", "512"))
 _SUB = 128  # lane-row width
 _NEG = -3.0e38  # -inf stand-in that survives fp32 matmul masking
 
@@ -71,12 +75,15 @@ def scatter_analytic_flops(num_cells: int, n_pts: int, channels: int) -> int:
     return 2 * chunks * tile * _K * lanes
 
 
-def _reduce_kernel(starts_ref, cells_ref, feats_ref, out_ref, *, op, tile, prec):
+def _reduce_kernel(starts_ref, cells_ref, feats_ref, out_ref, occ_ref=None,
+                   *, op, tile, prec):
     ib = pl.program_id(0)
     it = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     init = 0.0 if op == "add" else _NEG
     out_ref[...] = jnp.full(out_ref.shape, init, out_ref.dtype)
+    if occ_ref is not None:
+        occ_ref[...] = jnp.zeros(occ_ref.shape, occ_ref.dtype)
     lo = starts_ref[ib * (n_tiles + 1) + it]
     hi = starts_ref[ib * (n_tiles + 1) + it + 1]
     base = it * tile
@@ -94,6 +101,13 @@ def _reduce_kernel(starts_ref, cells_ref, feats_ref, out_ref, *, op, tile, prec)
             [(row_t == r).astype(out_ref.dtype) for r in rows], axis=1
         )  # [tile, K]
         feats = feats_ref[0, pl.ds(k * _K, _K), :]  # [K, C]
+        if occ_ref is not None and op == "add":
+            # occupancy rides the SAME one-hot masks — the separate
+            # C=1 count kernel call (and its full mask rebuild) is free'd
+            cov = jnp.sum(ohT.astype(jnp.float32), axis=1)[:, None]
+            occ_ref[0, :, :] = jnp.maximum(
+                occ_ref[0, :, :], (cov > 0.5).astype(occ_ref.dtype)
+            )
         if op == "add":
             out_ref[0, :, :] += jax.lax.dot_general(
                 ohT,
@@ -132,9 +146,24 @@ def _reduce_kernel(starts_ref, cells_ref, feats_ref, out_ref, *, op, tile, prec)
             out_ref[0, :, :] = jnp.maximum(
                 out_ref[0, :, :], jnp.where(covered, placed, _NEG)
             ).astype(out_ref.dtype)
+            if occ_ref is not None:
+                # reuse the boundary-masked coverage the max placement
+                # already computed (every segment has exactly one
+                # boundary point, so the covered cell set is identical)
+                occ_ref[0, :, :] = jnp.maximum(
+                    occ_ref[0, :, :], covered.astype(occ_ref.dtype)
+                )
         return 0
 
     jax.lax.fori_loop(lo // _K, (hi + _K - 1) // _K, chunk_body, 0)
+    if op == "max":
+        # zero empty cells HERE, in VMEM, while the tile is resident —
+        # doing it as an XLA epilogue streams the full [B, NC, C] grid
+        # through HBM twice more (~1 GB at bench scale, ~2.5 ms)
+        o = out_ref[0, :, :].astype(jnp.float32)  # bf16 cmpf unsupported
+        out_ref[0, :, :] = jnp.where(o <= 0.5 * _NEG, 0.0, o).astype(
+            out_ref.dtype
+        )
 
 
 def _reduce_kernel_c1(starts_ref, cells_ref, vals_ref, out_ref, *, tile):
@@ -232,9 +261,10 @@ def _pad_points(feats, cells):
     return feats, cells, n, np_
 
 
-@partial(jax.jit, static_argnames=("num_cells", "op", "interpret", "exact"))
+@partial(jax.jit, static_argnames=(
+    "num_cells", "op", "interpret", "exact", "with_occ"))
 def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
-                      exact=True):
+                      exact=True, with_occ=False):
     b = feats.shape[0]
     c = feats.shape[2]
     feats, cells, _, n = _pad_points(feats, cells)
@@ -249,8 +279,14 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
         if exact and feats.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    if c == 1 and op == "add":
-        vals2 = feats[..., 0].reshape(b, n // _SUB, _SUB)
+    if c == 1 and op == "add" and not with_occ:
+        # 16-bit values hit Mosaic's sublane-alignment proof on the
+        # per-row dynamic loads (bf16 rows need offsets provably %16;
+        # the chunk loop steps by _K/_SUB = 4) — 32-bit rows compile.
+        # Accumulation is f32 anyway; cast in, cast back at the end.
+        vals2 = (
+            feats[..., 0].astype(jnp.float32).reshape(b, n // _SUB, _SUB)
+        )
         out = pl.pallas_call(
             partial(_reduce_kernel_c1, tile=tile),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -268,13 +304,26 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
                     (1, tile, 1), lambda ib, it, s: (ib, it, 0)
                 ),
             ),
-            out_shape=jax.ShapeDtypeStruct((b, num_cells, 1), feats.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, num_cells, 1), jnp.float32
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
         )(starts, cells2, vals2)
-        return out
+        return out.astype(feats.dtype)
+    out_specs = pl.BlockSpec((1, tile, c), lambda ib, it, s: (ib, it, 0))
+    out_shape = jax.ShapeDtypeStruct((b, num_cells, c), feats.dtype)
+    if with_occ:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, tile, 1), lambda ib, it, s: (ib, it, 0)),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((b, num_cells, 1), jnp.float32),
+        )
     out = pl.pallas_call(
         partial(_reduce_kernel, op=op, tile=tile, prec=prec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -284,19 +333,20 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
                 pl.BlockSpec((1, n // _SUB, _SUB), lambda ib, it, s: (ib, 0, 0)),
                 pl.BlockSpec((1, n, c), lambda ib, it, s: (ib, 0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, tile, c), lambda ib, it, s: (ib, it, 0)
-            ),
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, num_cells, c), feats.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(starts, cells2, feats)
-    if op == "max":
-        out = jnp.where(out <= 0.5 * _NEG, 0.0, out)
-    return out
+    occ = None
+    if with_occ:
+        out, occ = out
+    # op == 'max': empty cells are zeroed INSIDE the kernel (VMEM-resident
+    # tile), not here — an XLA epilogue would stream the grid twice more
+    return (out, occ) if with_occ else out
 
 
 @partial(jax.jit, static_argnames=("interpret", "exact"))
@@ -366,6 +416,44 @@ def _grid_reduce_bwd(num_cells, op, interpret, exact, res, g):
 
 
 grid_reduce.defvjp(_grid_reduce_fwd, _grid_reduce_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grid_reduce_with_occ(feats, cells, num_cells: int, op: str = "max",
+                         interpret: bool = False, exact: bool = True):
+    """grid_reduce that ALSO returns the occupancy grid [B, NC, 1]
+    (1.0 where any point landed) from the same kernel pass — the
+    occupancy rides the one-hot masks the reduction already builds, so
+    the separate C=1 count kernel (a full second mask pass over every
+    (chunk, tile) pair) disappears from the pillar-encoder path.
+    Occupancy is piecewise-constant in feats: its cotangent is dropped."""
+    return _grid_reduce_impl(
+        feats, cells, num_cells, op, interpret, exact, with_occ=True
+    )
+
+
+def _grid_reduce_occ_fwd(feats, cells, num_cells, op, interpret, exact):
+    out = grid_reduce_with_occ(feats, cells, num_cells, op, interpret, exact)
+    grid, occ = out
+    res = (cells,) if op == "add" else (cells, feats, grid)
+    return out, res
+
+
+def _grid_reduce_occ_bwd(num_cells, op, interpret, exact, res, g):
+    g_grid, _ = g  # occupancy cotangent: constant wrt feats
+    if op == "add":
+        (cells,) = res
+        dfeats = _grid_gather_impl(g_grid, cells, interpret)
+    else:
+        cells, feats, grid = res
+        winner = feats == _grid_gather_impl(grid, cells, interpret)
+        dfeats = jnp.where(
+            winner, _grid_gather_impl(g_grid, cells, interpret), 0.0
+        )
+    return dfeats, None
+
+
+grid_reduce_with_occ.defvjp(_grid_reduce_occ_fwd, _grid_reduce_occ_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -148,6 +148,42 @@ class TestGridScatterPallas:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
         assert float(np.abs(np.asarray(got[2])).sum()) == 0.0
 
+    def test_reduce_with_occ_matches_reduce_plus_count(self):
+        """grid_reduce_with_occ: the occupancy output must equal a
+        separate count-based occupancy (the kernel derives it from the
+        same one-hot masks), the grid must equal plain grid_reduce, and
+        the VJP must match grid_reduce's (occ cotangent dropped)."""
+        from liso_tpu.ops.grid_scatter_pallas import (
+            grid_reduce, grid_reduce_with_occ,
+        )
+
+        cells, feats, NC = self._data()
+        for op in ("add", "max"):
+            got, occ = grid_reduce_with_occ(feats, cells, NC, op, True)
+            want = grid_reduce(feats, cells, NC, op, True)
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+            cnt = jax.vmap(
+                lambda c: jax.ops.segment_sum(
+                    jnp.ones_like(c, jnp.float32), c, num_segments=NC + 1
+                )
+            )(cells)[:, :NC]
+            np.testing.assert_array_equal(
+                np.asarray(occ[..., 0]), (np.asarray(cnt) > 0).astype(np.float32)
+            )
+
+        def f_occ(x):
+            g, _ = grid_reduce_with_occ(x, cells, NC, "max", True)
+            return jnp.sum(g ** 2)
+
+        def f_ref(x):
+            return jnp.sum(grid_reduce(x, cells, NC, "max", True) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_occ)(feats)),
+            np.asarray(jax.grad(f_ref)(feats)),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_gather_and_vjps_match_autodiff(self):
         from liso_tpu.ops.grid_scatter_pallas import grid_gather, grid_reduce
 

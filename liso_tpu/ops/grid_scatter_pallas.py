@@ -43,8 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # points per chunk (lane-rows of sorted cell ids; must be a multiple of
 # _SUB). Smaller K cuts the nc*K term of the one-hot mask/matmul work AND
-# the K*log2(K) segmented-scan work per pair; 512 was the original tile.
-_K = int(os.environ.get("LISO_GRID_K", "512"))
+# the K*log2(K) segmented-scan work per pair: measured on-chip at bench
+# scale (512^2 grid, b8, 32k pts, max+occ) K=128/tile=1024 runs 7.6 ms vs
+# 10.9 ms for the original K=512 — see docs/STATUS.md round-5.
+_K = int(os.environ.get("LISO_GRID_K", "128"))
 _SUB = 128  # lane-row width
 _NEG = -3.0e38  # -inf stand-in that survives fp32 matmul masking
 
@@ -52,7 +54,7 @@ _NEG = -3.0e38  # -inf stand-in that survives fp32 matmul masking
 def _pick_tile(num_cells: int) -> int:
     import os
 
-    t = int(os.environ.get("LISO_GRID_TILE", "2048"))
+    t = int(os.environ.get("LISO_GRID_TILE", "1024"))
     while num_cells % t != 0 and t > 8:
         t //= 2
     return t

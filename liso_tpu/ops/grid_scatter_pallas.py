@@ -52,12 +52,17 @@ _NEG = -3.0e38  # -inf stand-in that survives fp32 matmul masking
 
 
 def _pick_tile(num_cells: int) -> int:
+    """Cell-tile size. The grid row count is PADDED up to a tile multiple
+    (_pad_cells) rather than the tile shrunk to a divisor — non-power-of-2
+    grids like the reference's 920^2 (846400 cells) previously fell back
+    to tile=64 and 13k kernel programs."""
     import os
 
-    t = int(os.environ.get("LISO_GRID_TILE", "1024"))
-    while num_cells % t != 0 and t > 8:
-        t //= 2
-    return t
+    return int(os.environ.get("LISO_GRID_TILE", "1024"))
+
+
+def _padded_cells(num_cells: int, tile: int) -> int:
+    return -(-num_cells // tile) * tile
 
 
 def scatter_analytic_flops(num_cells: int, n_pts: int, channels: int) -> int:
@@ -73,7 +78,7 @@ def scatter_analytic_flops(num_cells: int, n_pts: int, channels: int) -> int:
     tiling (bench.py, benchmarks/mfu_bench.py import this)."""
     tile = _pick_tile(num_cells)
     lanes = -(-channels // _SUB) * _SUB
-    chunks = n_pts // _K + num_cells // tile
+    chunks = n_pts // _K + _padded_cells(num_cells, tile) // tile
     return 2 * chunks * tile * _K * lanes
 
 
@@ -271,8 +276,11 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
     c = feats.shape[2]
     feats, cells, _, n = _pad_points(feats, cells)
     tile = _pick_tile(num_cells)
-    n_tiles = num_cells // tile
-    starts = _tile_starts(cells, num_cells, tile).reshape(-1)
+    # pad the cell count to a tile multiple; drop-bucket points with ids
+    # in [num_cells, nc_pad) land in pad rows that are sliced off below
+    nc_pad = _padded_cells(num_cells, tile)
+    n_tiles = nc_pad // tile
+    starts = _tile_starts(cells, nc_pad, tile).reshape(-1)
     cells2 = cells.reshape(b, n // _SUB, _SUB)
     # HIGHEST (3-pass bf16x) only applies to f32 inputs; for bf16 inputs a
     # single pass IS exact and Mosaic rejects the fp32 contract precision
@@ -307,16 +315,16 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (b, num_cells, 1), jnp.float32
+                (b, nc_pad, 1), jnp.float32
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
         )(starts, cells2, vals2)
-        return out.astype(feats.dtype)
+        return out[:, :num_cells].astype(feats.dtype)
     out_specs = pl.BlockSpec((1, tile, c), lambda ib, it, s: (ib, it, 0))
-    out_shape = jax.ShapeDtypeStruct((b, num_cells, c), feats.dtype)
+    out_shape = jax.ShapeDtypeStruct((b, nc_pad, c), feats.dtype)
     if with_occ:
         out_specs = (
             out_specs,
@@ -324,7 +332,7 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
         )
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((b, num_cells, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, nc_pad, 1), jnp.float32),
         )
     out = pl.pallas_call(
         partial(_reduce_kernel, op=op, tile=tile, prec=prec),
@@ -346,6 +354,8 @@ def _grid_reduce_impl(feats, cells, num_cells, op="add", interpret=False,
     occ = None
     if with_occ:
         out, occ = out
+        occ = occ[:, :num_cells]
+    out = out[:, :num_cells]
     # op == 'max': empty cells are zeroed INSIDE the kernel (VMEM-resident
     # tile), not here — an XLA epilogue would stream the grid twice more
     return (out, occ) if with_occ else out
@@ -358,8 +368,13 @@ def _grid_gather_impl(grid, cells, interpret=False, exact=True):
     dummy = jnp.zeros((b, n0, 1), grid.dtype)
     _, cells, _, n = _pad_points(dummy, cells)
     tile = _pick_tile(num_cells)
-    n_tiles = num_cells // tile
-    starts = _tile_starts(cells, num_cells, tile).reshape(-1)
+    # zero-pad grid rows to a tile multiple: drop-bucket points whose ids
+    # fall in [num_cells, nc_pad) gather exactly 0, like before
+    nc_pad = _padded_cells(num_cells, tile)
+    if nc_pad != num_cells:
+        grid = jnp.pad(grid, ((0, 0), (0, nc_pad - num_cells), (0, 0)))
+    n_tiles = nc_pad // tile
+    starts = _tile_starts(cells, nc_pad, tile).reshape(-1)
     cells2 = cells.reshape(b, n // _SUB, _SUB)
     prec = (
         jax.lax.Precision.HIGHEST

@@ -184,6 +184,43 @@ class TestGridScatterPallas:
             rtol=1e-5, atol=1e-5,
         )
 
+    def test_non_tile_divisible_cell_count(self):
+        """Grids whose cell count is not a tile multiple (the reference's
+        920^2 = 846400) are handled by PADDING the cell rows, not by
+        shrinking the tile: reduce slices the pad off, gather pads the
+        grid with zeros so drop-bucket ids read 0."""
+        from liso_tpu.ops.grid_scatter_pallas import (
+            grid_gather, grid_reduce, grid_reduce_with_occ,
+        )
+
+        rng = np.random.RandomState(11)
+        B, N, NC = 2, 640, 900  # 900 not divisible by any pow2 tile
+        cells = np.sort(rng.randint(0, NC + 1, (B, N)).astype(np.int32), -1)
+        feats = rng.randn(B, N, 8).astype(np.float32)
+        cells_j, feats_j = jnp.asarray(cells), jnp.asarray(feats)
+        for op in ("add", "max"):
+            got = grid_reduce(feats_j, cells_j, NC, op, True)
+            assert got.shape == (B, NC, 8)
+            fn = jax.ops.segment_sum if op == "add" else jax.ops.segment_max
+            want = jax.vmap(
+                lambda f, c: fn(f, c, num_segments=NC + 1)
+            )(feats_j, cells_j)[:, :NC]
+            if op == "max":
+                want = jnp.where(jnp.isneginf(want), 0.0, want)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        (g, occ) = grid_reduce_with_occ(feats_j, cells_j, NC, "max", True)
+        assert g.shape == (B, NC, 8) and occ.shape == (B, NC, 1)
+        grid = jnp.asarray(rng.randn(B, NC, 8).astype(np.float32))
+        gat = grid_gather(grid, cells_j, True)
+        assert gat.shape == (B, N, 8)
+        drop = cells >= NC  # drop bucket must gather exactly 0
+        np.testing.assert_array_equal(np.asarray(gat)[drop], 0.0)
+        safe = np.minimum(cells, NC - 1)
+        want = np.take_along_axis(np.asarray(grid), safe[..., None], 1)
+        np.testing.assert_allclose(
+            np.asarray(gat)[~drop], want[~drop], rtol=1e-6, atol=1e-6
+        )
+
     def test_gather_and_vjps_match_autodiff(self):
         from liso_tpu.ops.grid_scatter_pallas import grid_gather, grid_reduce
 

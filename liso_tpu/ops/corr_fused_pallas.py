@@ -310,6 +310,12 @@ def _fused_fwd_impl(f0, f1cat, coords_t, levels, radius, interpret=None):
             (1, nl * w1 * w1, p_tile), lambda bi, ti: (bi, 0, ti)
         ),
         out_shape=jax.ShapeDtypeStruct((b, nl * w1 * w1, hwp), jnp.float32),
+        # large coarse grids (920^2/8 -> 115^2 pixels, M=19776 rows) need
+        # ~56 MB scoped VMEM for f1cat + the corrT accumulator — raise the
+        # default 16 MB limit (v5e has 128 MB/core)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(coords_p, f0p, f1cat)
     return out[..., :hw]
@@ -359,6 +365,9 @@ def _fused_bwd_impl(f0, f1cat, coords_t, g, levels, radius, interpret=None):
         out_shape=(
             jax.ShapeDtypeStruct((b, hwp, c), jnp.float32),
             jax.ShapeDtypeStruct((b, levels.total, c), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(coords_p, f0p, f1cat, gp)

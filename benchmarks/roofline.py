@@ -6,11 +6,25 @@ stay conservative):
   * every conv/matmul reads its input once and writes its output once in
     its compute dtype; BN / relu / residual-add / bias fuse into the
     producing op for free; weights are ignored (<< activations here);
-  * per-op floor = max(bytes / HBM_GBs, flops / PEAK_TFs); stage floor =
-    sum over its ops (XLA does not fuse conv->conv, so sequential convs
-    each pay their I/O — this is the *XLA-achievable* floor; a perfectly
-    fused handwritten kernel could go below it);
-  * pallas kernels are charged their actual HBM blocks.
+  * conv MXU time is charged at TILE-QUANTIZED flops: the MXU contracts
+    in 128-wide passes on both the reduction (k^2*Cin) and the output-
+    channel dim, so a Cout=48 conv occupies the array like a Cout=128
+    one (2.67x the ideal flops). The reference's channel widths
+    (48/96/144 encoder, 64 RPN stage-1) under-fill the array — the
+    quantized floor is what THIS model can achieve on THIS hardware;
+    the ideal-flops floor is also reported (floor_mxu_ideal_ms) so the
+    architecture-tax is visible per stage (round-4's floors used ideal
+    flops only, which is unreachable and made conv stages look 2-3x off
+    the wall);
+  * per-op floor = max(bytes / HBM_GBs, flops_q / PEAK_TFs); stage floor
+    = sum over its ops (XLA does not fuse conv->conv, so sequential
+    convs each pay their I/O — this is the *XLA-achievable* floor; a
+    perfectly fused handwritten kernel could go below it);
+  * pallas kernels are charged their actual HBM blocks;
+  * prep's sort/scan passes run VMEM-resident (b*n*6*4B << 128 MB), so
+    they are charged one HBM round trip plus comparator work on the VPU
+    (bitonic: log2(n)*(log2(n)+1)/2 stages; segmented scan: 2*log2(n)
+    passes) at --vpu-tops.
 
 measured/floor >> 1 for a stage = real headroom (latency- or
 occupancy-bound, not bandwidth-bound); ~1-1.5x = at the wall, stop
@@ -40,18 +54,29 @@ BF2 = 2  # bf16 bytes
 F4 = 4
 
 
+def _pad128(x):
+    return -(-x // 128) * 128
+
+
 def conv_cost(b, h_in, cin, cout, k=3, stride=1, in_bytes=BF2, out_bytes=BF2):
-    """(bytes, flops) for one conv, floor accounting per module docstring."""
+    """(bytes, flops_quantized, flops_ideal) for one conv. flops_quantized
+    charges the MXU's 128-wide pass granularity on the contraction
+    (k^2*Cin) and output-channel dims (module docstring)."""
     h_out = h_in // stride
     bytes_ = b * h_in * h_in * cin * in_bytes + b * h_out * h_out * cout * out_bytes
-    flops = 2.0 * b * h_out * h_out * k * k * cin * cout
-    return np.array([bytes_, flops])
+    flops_i = 2.0 * b * h_out * h_out * k * k * cin * cout
+    flops_q = 2.0 * b * h_out * h_out * _pad128(k * k * cin) * _pad128(cout)
+    # 4-vector: [hbm_bytes, mxu_flops_quantized, mxu_flops_ideal, vpu_ops]
+    return np.array([bytes_, flops_q, flops_i, 0.0])
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--peak-tf", type=float, default=177.0)
     ap.add_argument("--peak-gbs", type=float, default=430.0)
+    ap.add_argument("--vpu-tops", type=float, default=4.0,
+                    help="VPU element-op peak (v5e: 8x128 lanes x 4 ALUs "
+                    "x ~0.94 GHz ~= 4 Tops/s)")
     ap.add_argument("--grid", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n", type=int, default=32768)
@@ -189,12 +214,27 @@ def main():
     A = lambda h, c, by=BF2: b * h * h * c * by  # activation bytes at h x h
 
     floors = {}
-    floors["prep"] = np.array([b * n * 12 * F4 * 3, 0.0])  # ~3 f32 passes
+    # prep: one HBM round trip of the 6-operand point array (pillarize +
+    # sort + scans run VMEM-resident per batch) + VPU comparator work:
+    # bitonic sort log2(n)(log2(n)+1)/2 stages over 6 payload columns,
+    # segmented scan 2*log2(n) passes fwd+bwd over 4 columns
+    k2 = int(np.ceil(np.log2(n)))
+    vpu_ops = (
+        b * n * 6 * (k2 * (k2 + 1) // 2)  # sort comparator stages
+        + b * n * 4 * 2 * k2 * 2  # fwd+bwd segmented scans
+    )
+    floors["prep"] = np.array(
+        [b * n * 12 * F4 * 3, 0.0, 0.0, float(vpu_ops)]
+    )
 
     # PFN linear + pallas scatter (feats read + grid/occ written)
     floors["pfn_scatter"] = (
-        np.array([b * n * 10 * BF2 + b * n * 64 * BF2, 2.0 * b * n * 10 * 64])
-        + np.array([b * n * 65 * BF2 + A(g, 65), 0.0])
+        np.array([
+            b * n * 10 * BF2 + b * n * 64 * BF2,
+            2.0 * b * n * _pad128(10) * _pad128(64),
+            2.0 * b * n * 10 * 64, 0.0,
+        ])
+        + np.array([b * n * 65 * BF2 + A(g, 65), 0.0, 0.0, 0.0])
     )
 
     # JointEncoder (raft.py:129-160): conv1/2 + 2 res blocks per scale
@@ -216,9 +256,10 @@ def main():
     # STATUS.md) + 6x update block at g/8 + final convex upsample
     h8 = g // 8
     p_total = sum((h8 // 2 ** lv) ** 2 for lv in range(4))
-    corr = np.array([0.0, 2.0 * b * h8 * h8 * p_total * 128 * 6])
-    corr[0] = 6 * 27e6 * (g / 512) ** 2 * (b / 8)
-    u = np.array([0.0, 0.0])
+    corr_fl = 2.0 * b * h8 * h8 * p_total * 128 * 6
+    corr = np.array([6 * 27e6 * (g / 512) ** 2 * (b / 8),
+                     corr_fl, corr_fl, 0.0])  # kernel dims are 128-padded
+    u = np.zeros(4)
     taps = 4 * 49  # corr_levels * (2r+1)^2
     u = u + conv_cost(b, h8, taps, 96, k=1)          # conv_stat_corr1
     u = u + conv_cost(b, h8, 2, 64, k=7) + conv_cost(b, h8, 64, 32)
@@ -227,7 +268,7 @@ def main():
     u = u + conv_cost(b, h8, 80 + 64 + 96, 96, k=3)  # gru q
     u = u + conv_cost(b, h8, 96, 128) + conv_cost(b, h8, 128, 4, out_bytes=F4)
     u = u + conv_cost(b, h8, 96, 256) + conv_cost(b, h8, 256, 2, out_bytes=F4)
-    ups = np.array([A(h8, 256) + A(h8, 576, F4) + A(g, 9, F4), 0.0])
+    ups = np.array([A(h8, 256) + A(h8, 576, F4) + A(g, 9, F4), 0.0, 0.0, 0.0])
     floors["flow_6iter"] = corr + 6 * u + ups
 
     # RPN (centerpoint.py:80-113), baseline: stages (3,5,5) @ strides 2
@@ -259,6 +300,14 @@ def main():
     # --- report -----------------------------------------------------------
     peak_bw = args.peak_gbs * 1e9
     peak_tf = args.peak_tf * 1e12
+    peak_vpu = args.vpu_tops * 1e12
+
+    def floor_ms_of(fl):
+        bw_ms = fl[0] / peak_bw * 1e3
+        cq_ms = fl[1] / peak_tf * 1e3
+        vp_ms = fl[3] / peak_vpu * 1e3
+        return max(bw_ms, cq_ms, vp_ms), bw_ms, cq_ms, vp_ms
+
     out_rows = []
     print(f"\n{'stage':<24}{'meas ms':>9}{'floor ms':>10}{'x floor':>9}"
           f"{'bound':>8}")
@@ -266,16 +315,20 @@ def main():
         fl = floors.get(name)
         if fl is None:
             continue
-        bw_ms = fl[0] / peak_bw * 1e3
-        cp_ms = fl[1] / peak_tf * 1e3
-        floor_ms = max(bw_ms, cp_ms)
-        bound = "hbm" if bw_ms >= cp_ms else "mxu"
+        floor_ms, bw_ms, cq_ms, vp_ms = floor_ms_of(fl)
+        ci_ms = fl[2] / peak_tf * 1e3
+        bound = {bw_ms: "hbm", cq_ms: "mxu", vp_ms: "vpu"}[
+            max(bw_ms, cq_ms, vp_ms)
+        ]
         ratio = ms / floor_ms if floor_ms > 0 else float("inf")
         print(f"{name:<24}{ms:>9.2f}{floor_ms:>10.2f}{ratio:>9.2f}{bound:>8}")
         out_rows.append({
             "stage": name, "measured_ms": round(ms, 2),
             "floor_ms": round(floor_ms, 2),
-            "floor_bw_ms": round(bw_ms, 2), "floor_mxu_ms": round(cp_ms, 2),
+            "floor_bw_ms": round(bw_ms, 2),
+            "floor_mxu_ms": round(cq_ms, 2),
+            "floor_mxu_ideal_ms": round(ci_ms, 2),
+            "floor_vpu_ms": round(vp_ms, 2),
             "x_floor": round(ratio, 2), "bound": bound,
         })
 
@@ -284,15 +337,16 @@ def main():
         "prep", "pfn_scatter", "raft_encode", "flow_6iter", "rpn",
         "shared_heads")) + dict(rows)["pfn_scatter"]
     total_floor = sum(
-        max(floors[nm][0] / peak_bw, floors[nm][1] / peak_tf) * 1e3
+        floor_ms_of(floors[nm])[0]
         for nm in ("prep", "pfn_scatter", "raft_encode", "flow_6iter",
                    "rpn", "shared_heads")
-    ) + max(floors["pfn_scatter"][0] / peak_bw,
-            floors["pfn_scatter"][1] / peak_tf) * 1e3
+    ) + floor_ms_of(floors["pfn_scatter"])[0]
     result = {
         "metric": "roofline_fused_step",
         "grid": g, "batch": b, "n_pts": n,
         "peak_tf_s": args.peak_tf, "peak_gb_s": args.peak_gbs,
+        "vpu_tops": args.vpu_tops,
+        "floor_model": "mxu-tile-quantized (see module docstring)",
         "stages": out_rows,
         "stage_sum_measured_ms": round(total_meas, 2),
         "stage_sum_floor_ms": round(total_floor, 2),

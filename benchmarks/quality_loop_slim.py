@@ -168,6 +168,12 @@ def main():
              "flow_cluster_detector_min_travel_dist_filter_m", "1.0"],
             ["validation", "val_every_n_steps", "0"],
             ["data", "augmentation", "boxes", "active", "true"],
+            # keep mining recall bounded below by the flow-cluster
+            # bootstrap's (tracker/mining.union_proposals): without it the
+            # detector-only rounds ratchet recall monotonically downward
+            # on this 60-frame drive (r5 first run: R@2m 0.503 -> 0.408
+            # over rounds 1-4 with precision pinned at 1.000)
+            ["optimization", "rounds", "mine_proposal_union", "true"],
         ],
     )
     mine_cfg = (

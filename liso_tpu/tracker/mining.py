@@ -139,6 +139,44 @@ def boxes_in_bev_mask(boxes: Boxes, bev: BevSetup) -> jnp.ndarray:
     return jnp.all(jnp.abs(corners) < half, axis=(-2, -1))
 
 
+@partial(jax.jit, static_argnums=(2,))
+def union_proposals(
+    primary: Boxes, secondary: Boxes, dedup_dist_m: float
+) -> Boxes:
+    """Per-frame mining-proposal union: concat `primary` (trained-detector)
+    with `secondary` (flow-cluster) boxes, dropping secondary boxes whose
+    BEV center lies within `dedup_dist_m` of any valid primary box.
+
+    Rationale: after round 0 the reference mines ONLY from the trained
+    detector (tracking.py:532-560 picks the network's own predictions), so
+    any object the detector drops below threshold once can never re-enter
+    the mined DB — the per-round recall can only ratchet downward on small
+    drives. Unioning the always-available flow-cluster proposals back in
+    keeps mining recall bounded below by the bootstrap's; the tracker's
+    age/confidence/motion filters downstream still gate what is actually
+    mined, so precision is unaffected. Enabled by
+    optimization.rounds.mine_proposal_union (off by default =
+    reference-parity behavior)."""
+    p = primary.with_defaults()
+    s = secondary.with_defaults()
+    d2 = jnp.sum(
+        (s.pos[:, None, :2] - p.pos[None, :, :2]) ** 2, axis=-1
+    )
+    close = (d2 < dedup_dist_m * dedup_dist_m) & p.valid[None, :]
+    s_valid = s.valid & ~jnp.any(close, axis=1)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    return Boxes(
+        pos=cat(p.pos, s.pos),
+        dims=cat(p.dims, s.dims),
+        rot=cat(p.rot, s.rot),
+        probs=cat(p.probs, s.probs),
+        velo=cat(p.velo, s.velo),
+        valid=jnp.concatenate([p.valid, s_valid], axis=0),
+        class_id=cat(p.class_id, s.class_id),
+        difficulty=cat(p.difficulty, s.difficulty),
+    )
+
+
 def mine_sequence(
     frames: List[Frame],
     detect_fn: Callable[[Frame], Boxes],

@@ -34,7 +34,12 @@ from liso_tpu.tracker.dbs import (
     save_mined_boxes_db,
     shrink_augm_db,
 )
-from liso_tpu.tracker.mining import Frame, MiningCfg, mine_sequence
+from liso_tpu.tracker.mining import (
+    Frame,
+    MiningCfg,
+    mine_sequence,
+    union_proposals,
+)
 from liso_tpu.train.detector_train import DetectorTrainer
 from liso_tpu.utils.tb import TBFactory
 
@@ -243,6 +248,11 @@ class LisoSelfTraining:
 
     # ------------------------------------------------------------------
     def _bootstrap_detect_fn(self):
+        # cached: proposal-union mining calls this every round, and the
+        # jitted flow-cluster program is identical across rounds
+        cached = getattr(self, "_fc_detect_cached", None)
+        if cached is not None:
+            return cached
         bev = self.bev
         fc_cfg = FlowClusterCfg(
             min_residual_flow_thresh_mps=1.0,
@@ -267,6 +277,7 @@ class LisoSelfTraining:
                 jnp.asarray(self.data_cfg.time_delta_s),
             )
 
+        self._fc_detect_cached = detect
         return detect
 
     def _detector_detect_fn(self):
@@ -338,6 +349,33 @@ class LisoSelfTraining:
             if self.round_idx == 0
             else self.mining_cfg_detector
         )
+        union_on = bool(
+            getattr(
+                self.cfg.optimization.rounds, "mine_proposal_union", False
+            )
+        )
+        if not bootstrap and union_on:
+            # union flow-cluster proposals back into detector-mode mining
+            # (see tracker/mining.union_proposals for the rationale)
+            fc_detect = self._bootstrap_detect_fn()
+            det_detect = detect_fn
+            det_batch = detect_batch_fn
+            thresh = float(
+                self.cfg.data.tracking_cfg.track_matching_threshold_m
+            )
+
+            def detect_fn(frame):  # noqa: F811 — deliberate rebind
+                return union_proposals(
+                    det_detect(frame), fc_detect(frame), thresh
+                )
+
+            def detect_batch_fn(frames):  # noqa: F811
+                prim = det_batch(frames)
+                return [
+                    union_proposals(p, fc_detect(f), thresh)
+                    for p, f in zip(prim, frames)
+                ]
+
         # reference stop conditions (tracking.py:594): keep consuming
         # sequences until enough tracks were mined or the timeout fires;
         # both unset => mine every sequence (the reference's default, where

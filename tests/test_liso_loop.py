@@ -330,3 +330,56 @@ def test_trainer_schedule_spans_reset_period(fast_cfg, tmp_path):
     # and the peak is reached inside the period
     peak = max(float(sched(s)) for s in range(spr * drop))
     assert abs(peak - max_lr) / max_lr < 0.05, (peak, max_lr)
+
+
+def test_loop_with_proposal_union(tmp_path):
+    """Rounds with optimization.rounds.mine_proposal_union: round-1 mining
+    feeds the tracker the union of detector + flow-cluster proposals
+    (tracker/mining.union_proposals) — recall can't ratchet below the
+    bootstrap's. Smoke: the union path runs end to end and round-1 mining
+    still produces a DB at least as large as detector-only would on a
+    barely-trained net."""
+    cfg = parse_config(
+        CFG_PATH,
+        extra_cfg_args=["centerpoint"],
+        key_value_updates=[
+            ["optimization", "rounds", "active", "true"],
+            ["optimization", "rounds", "steps_per_round", "3"],
+            ["optimization", "rounds", "drop_net_weights_every_nth_round", "2"],
+            ["optimization", "rounds", "mine_proposal_union", "true"],
+            ["optimization", "num_training_steps", "6"],
+            ["optimization", "learning_rate", "0.001"],
+            ["data", "batch_size", "2"],
+            ["data", "num_workers", "0"],
+            ["data", "tracking_cfg", "min_track_age", "2"],
+            ["data", "tracking_cfg", "min_points_in_box", "5"],
+            ["data", "tracking_cfg",
+             "flow_cluster_detector_min_travel_dist_filter_m", "1.0"],
+            ["validation", "val_every_n_steps", "0"],
+            ["data", "augmentation", "boxes", "active", "true"],
+        ],
+    )
+    bev = BevSetup((40.0, 40.0), (64, 64))
+    dcfg = DataCfg(
+        bev=bev, n_max=4096, m_max=12288, k_max_boxes=16,
+        use_skip_frames="never",
+    )
+
+    def factory(mined_db):
+        return SyntheticDataset(dcfg, n_frames=8, mined_boxes_db=mined_db)
+
+    val_ds = SyntheticDataset(dcfg, n_frames=4, seed=1)
+    loop = LisoSelfTraining(cfg, factory, val_ds, tmp_path, data_cfg=dcfg)
+    losses = loop.run(total_steps=6, fast_test=True)
+    assert np.isfinite(losses).all()
+    assert loop.round_idx == 2
+    from liso_tpu.tracker.dbs import load_mined_boxes_db
+
+    db0 = load_mined_boxes_db(tmp_path / "mined_round_0" / "tracked.npz")
+    db1 = load_mined_boxes_db(tmp_path / "mined_round_1" / "tracked.npz")
+    n0 = sum(len(v["track_id"]) for v in db0.values())
+    n1 = sum(len(v["track_id"]) for v in db1.values())
+    assert n0 > 0
+    # with flow-cluster proposals unioned in, the 3-step net's re-mining
+    # keeps at least the flow-cluster-recoverable tracks
+    assert n1 > 0, "union mining lost every bootstrap-recoverable track"

@@ -167,3 +167,36 @@ def test_build_augm_db_from_groundtruth():
     # snippet is in box coords: centered, inside half-dims
     assert np.abs(snip[:, :3]).max() <= 2.2
     assert db["boxes"]["pos"].shape == (1, 3)
+
+
+def test_union_proposals_dedups_by_center_distance():
+    from liso_tpu.ops.boxes import Boxes
+    from liso_tpu.tracker.mining import union_proposals
+
+    prim = Boxes.empty(3)
+    prim = prim.replace(
+        pos=jnp.asarray(
+            [[0.0, 0.0, 0.0], [10.0, 0.0, 0.0], [99.0, 99.0, 0.0]]
+        ),
+        probs=jnp.asarray([[0.9], [0.8], [0.0]]),
+        valid=jnp.asarray([True, True, False]),  # 3rd is invalid filler
+    )
+    sec = Boxes.empty(3)
+    sec = sec.replace(
+        pos=jnp.asarray(
+            # dup of prim[0] | new object | near INVALID prim[2] (kept)
+            [[0.4, 0.3, 0.0], [20.0, 5.0, 0.0], [99.2, 99.0, 0.0]]
+        ),
+        probs=jnp.asarray([[0.5], [0.5], [0.5]]),
+        valid=jnp.asarray([True, True, True]),
+    )
+    out = union_proposals(prim, sec, 1.0)
+    assert out.pos.shape == (6, 3)
+    np.testing.assert_array_equal(
+        np.asarray(out.valid), [True, True, False, False, True, True]
+    )
+    # primary fields come first and untouched
+    np.testing.assert_allclose(np.asarray(out.pos[:3]), np.asarray(prim.pos))
+    np.testing.assert_allclose(
+        np.asarray(out.probs[3:]), np.asarray(sec.probs)
+    )

@@ -63,15 +63,22 @@ class SlimTrainer:
         train_steps: int = 150_000,
         num_train_samples: int = 1,
         grad_clip_norm: float = 0.0,
+        compute_dtype: Any = None,
     ):
         self.bev = bev
         self.num_iters = num_iters
+        # compute_dtype=jnp.bfloat16 runs conv/matmul compute in bf16
+        # (params + optimizer state + loss stay f32; flax norms accumulate
+        # mean/var in f32 internally) — on TPU this halves activation HBM
+        # traffic and feeds the MXU its native input width. Default None =
+        # f32 everywhere, the reference's torch fp32 training semantics.
         self.model = SlimModel(
             bev=bev,
             num_iters=num_iters,
             predict_weight_for_static_aggregation=(
                 predict_weight_for_static_aggregation
             ),
+            compute_dtype=compute_dtype,
         )
         self.dcfg = DecoderCfg(
             predict_weight_for_static_aggregation=(

@@ -158,7 +158,7 @@ class KittiObjectDataset(KittiTrackingDataset):
         self._seqs = {0: list(range(len(files)))}
         self._seq_keys = [0]
 
-    def select_time_keys(self):
+    def select_time_keys(self, rng=None):
         return "t0", "t1", self.cfg.time_delta_s
 
     def _odom(self, content: dict, a: str, b: str) -> np.ndarray:
